@@ -1,0 +1,110 @@
+"""Batch adapter: host GT batches -> device (gt, lr[, gt_pixel]) pairs.
+
+This is where the reference's per-sample CPU degradation work
+(SURVEY.md §3.1 hot spot) becomes on-device fused XLA pipelines:
+
+- ``bicubic``  : LR = MATLAB bicubic GT/sf (ESRGAN/dataset.py:57-84)
+- ``bsrgan``   : fork chain on the 320-crop, then aligned on-device
+                 random crop to gt_image_size (BSRGAN/train_bsrgan.py:399)
+- ``realesrgan``: USM + second-order chain + paired crop/flip/rotate
+                 (Real_ESRGAN/train_realesrgan.py:392-405)
+- ``paired``   : LR comes from the dataset (PairedImageDataset)
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from srganfd_tpu.configs.base import ExperimentConfig
+from srganfd_tpu.ops import augment
+from srganfd_tpu.ops.degrade import apply_bsrgan_batch, plan_bsrgan_batch
+from srganfd_tpu.ops.realesrgan_degrade import (
+    apply_realesrgan_batch,
+    plan_realesrgan_batch,
+    usm_sharp,
+)
+from srganfd_tpu.ops.resize import imresize
+
+__all__ = ["DegradationAdapter"]
+
+
+class DegradationAdapter:
+    def __init__(self, cfg: ExperimentConfig, seed: int = 0, train: bool = True) -> None:
+        self.cfg = cfg
+        self.rng = np.random.default_rng(seed)
+        self.train = train
+        self._bicubic = jax.jit(
+            lambda g: jnp.clip(imresize(g, 1.0 / cfg.upscale_factor), 0.0, 1.0)
+        )
+
+    def __call__(self, host_batch: dict[str, np.ndarray], step: int) -> dict[str, Any]:
+        cfg = self.cfg
+        gt = jnp.asarray(host_batch["gt"])
+        n = gt.shape[0]
+        if cfg.degradation == "paired":
+            return {"gt": gt, "lr": jnp.asarray(host_batch["lr"])}
+
+        if cfg.degradation == "bicubic":
+            return {"gt": gt, "lr": self._bicubic(gt)}
+
+        if cfg.degradation == "bsrgan":
+            plan = plan_bsrgan_batch(
+                self.rng,
+                n,
+                cfg.upscale_factor,
+                jpeg_prob=cfg.degradation_params.get("jpeg_prob", 0.9),
+                scale2_prob=cfg.degradation_params.get("scale2_prob", 0.25),
+            )
+            lr_full = apply_bsrgan_batch(gt, plan)
+            if not self.train:
+                return {"gt": gt, "lr": lr_full}
+            sf = cfg.upscale_factor
+            # aligned random crop gt_image_size (BSRGAN/imgproc.py:846-886)
+            # against the post-scale2 GT scale
+            if plan.effective_upscale != sf:  # scale2 halved the LR basis
+                gt = imresize(gt, 0.5)
+                sf = plan.effective_upscale
+            lr_limit_h = lr_full.shape[1] - cfg.gt_image_size // sf
+            lr_limit_w = lr_full.shape[2] - cfg.gt_image_size // sf
+            tops = jnp.asarray(self.rng.integers(0, lr_limit_h + 1, n))
+            lefts = jnp.asarray(self.rng.integers(0, lr_limit_w + 1, n))
+            gt_c, lr_c = augment.paired_random_crop(
+                gt, lr_full, tops, lefts, cfg.gt_image_size, sf
+            )
+            return {"gt": gt_c, "lr": lr_c}
+
+        if cfg.degradation == "realesrgan":
+            p = cfg.degradation_params["process"]
+            gt_usm = usm_sharp(gt)
+            plan = plan_realesrgan_batch(
+                self.rng, n, (gt.shape[1], gt.shape[2]), cfg.upscale_factor, p
+            )
+            key = jax.random.PRNGKey(int(self.rng.integers(0, 2**31)))
+            lr = apply_realesrgan_batch(
+                gt_usm,
+                jnp.asarray(host_batch["kernel1"]),
+                jnp.asarray(host_batch["kernel2"]),
+                jnp.asarray(host_batch["sinc_kernel"]),
+                key,
+                plan,
+            )
+            if not self.train:
+                return {"gt": gt, "gt_pixel": gt_usm, "lr": lr}
+            sf = cfg.upscale_factor
+            lr_limit = lr.shape[1] - cfg.gt_image_size // sf
+            tops = jnp.asarray(self.rng.integers(0, max(lr_limit, 0) + 1, n))
+            lefts = jnp.asarray(self.rng.integers(0, max(lr_limit, 0) + 1, n))
+            gt_c, lr_c = augment.paired_random_crop(gt, lr, tops, lefts, cfg.gt_image_size, sf)
+            usm_c, _ = augment.paired_random_crop(gt_usm, lr, tops, lefts, cfg.gt_image_size, sf)
+            hf = jnp.asarray((self.rng.random(n) < 0.5).astype(np.float32))
+            vf = jnp.asarray((self.rng.random(n) < 0.5).astype(np.float32))
+            rot = jnp.asarray((self.rng.random(n) < 0.5).astype(np.float32))
+            usm_c, _ = augment.paired_flip_rotate(usm_c, lr_c, hf, vf, rot)
+            gt_c, lr_c = augment.paired_flip_rotate(gt_c, lr_c, hf, vf, rot)
+            return {"gt": gt_c, "gt_pixel": usm_c, "lr": lr_c}
+
+        raise ValueError(f"unknown degradation {cfg.degradation!r}")

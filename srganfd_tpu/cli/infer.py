@@ -1,0 +1,69 @@
+"""Single-image super-resolution CLI.
+
+Parity target: ``ESRGAN/inference.py:79-102`` (the reference's only
+argparse entry point): build arch by name, load weights, SR one image,
+write PNG. Device choice maps cpu/cuda -> cpu/tpu.
+
+Usage:
+    python -m srganfd_tpu.cli.infer --model-arch rrdbnet_x4 \
+        --inputs-path in.png --output-path out.png \
+        [--weights results/exp/ckpt_best] [--device cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from srganfd_tpu.data.datasets import load_image_rgb
+from srganfd_tpu.models import create_model
+from srganfd_tpu.train import checkpoint as ckpt
+
+
+def choice_device(device_type: str) -> None:
+    if device_type == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+
+def build_model(arch: str):
+    return create_model(arch)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="srganfd_tpu single-image inference")
+    ap.add_argument("--model-arch", "--model_arch_name", dest="arch", default="rrdbnet_x4")
+    ap.add_argument("--inputs-path", "--inputs_path", dest="inputs", required=True)
+    ap.add_argument("--output-path", "--output_path", dest="output", required=True)
+    ap.add_argument("--weights", "--model_weights_path", dest="weights", default="")
+    ap.add_argument("--device-type", "--device_type", dest="device", default="tpu", choices=["cpu", "tpu"])
+    args = ap.parse_args()
+
+    choice_device(args.device)
+    model = build_model(args.arch)
+
+    img = load_image_rgb(args.inputs)
+    x = jnp.asarray(img)[None]
+
+    if args.weights:
+        payload = ckpt.load_checkpoint(args.weights)
+        params = payload["state"]["ema_g_params"]
+    else:
+        print("! no --weights given: using randomly initialized parameters")
+        params = model.init(jax.random.PRNGKey(0), x)["params"]
+
+    sr = np.asarray(jax.jit(lambda p, z: model.apply({"params": p}, z))(params, x))[0]
+    sr8 = np.clip(sr * 255.0, 0, 255).astype(np.uint8)
+
+    import cv2
+
+    os.makedirs(os.path.dirname(os.path.abspath(args.output)), exist_ok=True)
+    cv2.imwrite(args.output, sr8[..., ::-1])
+    print(f"SR image saved to {args.output} ({sr8.shape[1]}x{sr8.shape[0]})")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,321 @@
+"""Generator families (NHWC Flax modules).
+
+Parity targets:
+- ``RRDBNet`` x1/x2/x4/x8: ``ESRGAN/model.py:144-243,301-322``
+- ``BSRGAN`` x2/x4 (+ ``bsrgansa`` alias — the reference's self-attention
+  variant never actually inserts attention, ``BSRGAN/model.py:405-496``):
+  ``BSRGAN/model.py:311-384,570-587``
+- ``BSRGANtrans``: BSRGAN trunk + stride-2 downsample -> 2-layer
+  transformer over HW tokens -> upsample: ``A-ESRGAN/model.py:643-753``
+- Real-ESRGAN ``RRDBNet`` with pixel-unshuffle front: ``Real_ESRGAN/model.py:179-263,331-334``
+- A-ESRGAN ``Generator_RPA`` (residual pixel-attention) and
+  ``Generator_RRDB`` (pixel-unshuffle RRDB): ``A-ESRGAN/model.py:87-221``
+
+All generators clamp outputs to [0,1] exactly where the reference does.
+Upsampling uses nearest-neighbor broadcast (torch ``F.interpolate`` nearest).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from srganfd_tpu.models.blocks import (
+    RRDB,
+    Conv,
+    TransformerEncoderLayer,
+    lrelu,
+    pixel_unshuffle,
+)
+from srganfd_tpu.models.registry import register
+from srganfd_tpu.ops.resize import upsample_nearest
+
+__all__ = [
+    "RRDBNet",
+    "BSRGAN",
+    "BSRGANtrans",
+    "RealESRGANNet",
+    "GeneratorRPA",
+    "GeneratorRRDB",
+]
+
+
+class RRDBNet(nn.Module):
+    """ESRGAN generator: conv1 -> 23xRRDB -> conv2 + skip -> per-x2
+    nearest-upsample+conv stages -> conv3 -> conv4 -> clamp."""
+
+    in_channels: int = 3
+    out_channels: int = 3
+    channels: int = 64
+    growth_channels: int = 32
+    num_blocks: int = 23
+    upscale_factor: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = x.astype(self.dtype)
+        conv = lambda f: Conv(f, scaled_init=True, dtype=self.dtype)
+        out1 = conv(self.channels)(x)
+        out = out1
+        for _ in range(self.num_blocks):
+            out = RRDB(self.channels, self.growth_channels, self.dtype)(out)
+        out = out1 + conv(self.channels)(out)
+        for _ in range(int(math.log2(self.upscale_factor)) if self.upscale_factor > 1 else 0):
+            out = lrelu(conv(self.channels)(upsample_nearest(out, 2)))
+        out = lrelu(conv(self.channels)(out))
+        out = conv(self.out_channels)(out)
+        return jnp.clip(out, 0.0, 1.0).astype(jnp.float32)
+
+
+class BSRGAN(nn.Module):
+    """BSRGAN generator (``BSRGAN/model.py:311-384``): RRDBNet topology
+    where upsampling1 always runs and upsampling2 only at x4."""
+
+    in_channels: int = 3
+    out_channels: int = 3
+    channels: int = 64
+    growth_channels: int = 32
+    num_rrdb: int = 23
+    upscale_factor: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = x.astype(self.dtype)
+        conv = lambda f: Conv(f, scaled_init=True, dtype=self.dtype)
+        out1 = conv(self.channels)(x)
+        out = out1
+        for _ in range(self.num_rrdb):
+            out = RRDB(self.channels, self.growth_channels, self.dtype)(out)
+        out = out1 + conv(self.channels)(out)
+        out = lrelu(conv(self.channels)(upsample_nearest(out, 2)))
+        if self.upscale_factor == 4:
+            out = lrelu(conv(self.channels)(upsample_nearest(out, 2)))
+        out = lrelu(conv(self.channels)(out))
+        out = conv(self.out_channels)(out)
+        return jnp.clip(out, 0.0, 1.0).astype(jnp.float32)
+
+
+class BSRGANtrans(nn.Module):
+    """BSRGAN + transformer bottleneck (``A-ESRGAN/model.py:643-753``):
+    after the RRDB trunk, stride-2 conv downsample, 2 transformer encoder
+    layers over flattened HW tokens (d_model=channels, 4 heads), nearest
+    x2 upsample back, then the BSRGAN head. O((HW/4)^2) attention — keep
+    crops small, as the reference does."""
+
+    in_channels: int = 3
+    out_channels: int = 3
+    channels: int = 64
+    growth_channels: int = 32
+    num_rrdb: int = 23
+    upscale_factor: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        x = x.astype(self.dtype)
+        conv = lambda f: Conv(f, scaled_init=True, dtype=self.dtype)
+        out1 = conv(self.channels)(x)
+        out = out1
+        for _ in range(self.num_rrdb):
+            out = RRDB(self.channels, self.growth_channels, self.dtype)(out)
+
+        out = lrelu(Conv(self.channels, stride=2, scaled_init=True, dtype=self.dtype)(out))
+        n, h2, w2, c = out.shape
+        tokens = out.reshape(n, h2 * w2, c)
+        for _ in range(2):
+            tokens = TransformerEncoderLayer(c, 4, dtype=self.dtype)(tokens, deterministic)
+        out = tokens.reshape(n, h2, w2, c)
+        out = lrelu(conv(self.channels)(upsample_nearest(out, 2)))
+
+        out = out1 + conv(self.channels)(out)
+        out = lrelu(conv(self.channels)(upsample_nearest(out, 2)))
+        if self.upscale_factor == 4:
+            out = lrelu(conv(self.channels)(upsample_nearest(out, 2)))
+        out = lrelu(conv(self.channels)(out))
+        out = conv(self.out_channels)(out)
+        return jnp.clip(out, 0.0, 1.0).astype(jnp.float32)
+
+
+class RealESRGANNet(nn.Module):
+    """Real-ESRGAN generator (``Real_ESRGAN/model.py:179-263``): pixel-
+    unshuffle front (x2 -> unshuffle 2, x1 -> unshuffle 4), RRDB trunk,
+    always two nearest-x2 upsample stages."""
+
+    in_channels: int = 3
+    out_channels: int = 3
+    channels: int = 64
+    growth_channels: int = 32
+    num_rrdb: int = 23
+    upscale_factor: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = x.astype(self.dtype)
+        if self.upscale_factor == 2:
+            x = pixel_unshuffle(x, 2)
+        elif self.upscale_factor == 1:
+            x = pixel_unshuffle(x, 4)
+        conv = lambda f: Conv(f, scaled_init=True, dtype=self.dtype)
+        out1 = conv(self.channels)(x)
+        out = out1
+        for _ in range(self.num_rrdb):
+            out = RRDB(self.channels, self.growth_channels, self.dtype)(out)
+        out = out1 + conv(self.channels)(out)
+        out = lrelu(conv(self.channels)(upsample_nearest(out, 2)))
+        out = lrelu(conv(self.channels)(upsample_nearest(out, 2)))
+        out = lrelu(conv(self.channels)(out))
+        out = conv(self.out_channels)(out)
+        return jnp.clip(out, 0.0, 1.0).astype(jnp.float32)
+
+
+class _RPABlock(nn.Module):
+    """Residual pixel-attention block (``A-ESRGAN/model.py:112-140``)."""
+
+    num_feat: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        z = lrelu(Conv(self.num_feat * 2, kernel=1, padding=0, scaled_init=True, dtype=self.dtype)(x))
+        z = lrelu(Conv(self.num_feat * 4, kernel=1, padding=0, scaled_init=True, dtype=self.dtype)(z))
+        z = Conv(self.num_feat, scaled_init=True, dtype=self.dtype)(z)
+        z = nn.sigmoid(z)
+        z = x * z + x
+        z = Conv(self.num_feat, dtype=self.dtype)(z)
+        return lrelu(z)
+
+
+class _PAUpsample(nn.Module):
+    """Pixel-attention upsampling block ``US`` (``A-ESRGAN/model.py:87-109``)."""
+
+    num_feat: int
+    scale: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x_ = lrelu(Conv(self.num_feat, kernel=1, padding=0, dtype=self.dtype)(upsample_nearest(x, self.scale)))
+        z = nn.sigmoid(Conv(self.num_feat, kernel=1, padding=0, dtype=self.dtype)(x_))
+        z = x_ * z + x_
+        return lrelu(Conv(self.num_feat, dtype=self.dtype)(z))
+
+
+class GeneratorRPA(nn.Module):
+    """A-ESRGAN residual pixel-attention generator
+    (``A-ESRGAN/model.py:143-175``). No output clamp (matches reference)."""
+
+    num_in_ch: int = 3
+    num_out_ch: int = 3
+    scale: int = 2
+    num_feat: int = 64
+    num_block: int = 20
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = x.astype(self.dtype)
+        z = lrelu(Conv(self.num_feat, dtype=self.dtype)(x))
+        z_ = z
+        for _ in range(self.num_block):
+            z_ = _RPABlock(self.num_feat, self.dtype)(z_)
+        z = z + z_
+        for _ in range(math.ceil(math.log2(self.scale))):
+            z = _PAUpsample(self.num_feat, 2, self.dtype)(z)
+        z = lrelu(Conv(self.num_feat // 2, dtype=self.dtype)(z))
+        return Conv(self.num_out_ch, dtype=self.dtype)(z).astype(jnp.float32)
+
+
+class GeneratorRRDB(nn.Module):
+    """A-ESRGAN pixel-unshuffle RRDB generator
+    (``A-ESRGAN/model.py:180-215``): unshuffle(4/scale) front, RRDB trunk,
+    two fixed nearest-x2 upsample stages, no clamp."""
+
+    num_in_ch: int = 3
+    num_out_ch: int = 3
+    scale: int = 4
+    num_feat: int = 64
+    num_block: int = 23
+    num_grow_ch: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = x.astype(self.dtype)
+        z = pixel_unshuffle(x, 4 // self.scale)
+        conv = lambda f: Conv(f, dtype=self.dtype)
+        z = conv(self.num_feat)(z)
+        z_ = z
+        for _ in range(self.num_block):
+            z_ = RRDB(self.num_feat, self.num_grow_ch, self.dtype)(z_)
+        z = z + conv(self.num_feat)(z_)
+        z = lrelu(conv(self.num_feat)(upsample_nearest(z, 2)))
+        z = lrelu(conv(self.num_feat)(upsample_nearest(z, 2)))
+        z = conv(self.num_out_ch)(lrelu(conv(self.num_feat)(z)))
+        return z.astype(jnp.float32)
+
+
+# --- factories, reference-compatible names ---------------------------------
+
+
+def _rrdbnet(upscale: int):
+    def factory(**kw: Any) -> RRDBNet:
+        return RRDBNet(upscale_factor=upscale, **kw)
+
+    return factory
+
+
+register("rrdbnet_x1")(_rrdbnet(1))
+register("rrdbnet_x2")(_rrdbnet(2))
+register("rrdbnet_x4")(_rrdbnet(4))
+register("rrdbnet_x8")(_rrdbnet(8))
+
+
+@register("bsrgan_x2")
+def bsrgan_x2(**kw: Any) -> BSRGAN:
+    return BSRGAN(upscale_factor=2, **kw)
+
+
+@register("bsrgan_x4")
+def bsrgan_x4(**kw: Any) -> BSRGAN:
+    return BSRGAN(upscale_factor=4, **kw)
+
+
+@register("bsrgansa_x2")
+def bsrgansa_x2(**kw: Any) -> BSRGAN:
+    """The reference's ``BSRGANsa`` never inserts its attention modules
+    (SURVEY.md §2.10; ``BSRGAN/model.py:405-496``) — numerically it IS
+    BSRGAN, so this is an explicit alias rather than a replicated bug."""
+    return BSRGAN(upscale_factor=2, **kw)
+
+
+@register("bsrgantrans_x2")
+def bsrgantrans_x2(**kw: Any) -> BSRGANtrans:
+    return BSRGANtrans(upscale_factor=2, **kw)
+
+
+@register("realesrgan_x4")
+@register("rrdbnet_realesrgan_x4")
+def realesrgan_x4(**kw: Any) -> RealESRGANNet:
+    return RealESRGANNet(upscale_factor=4, **kw)
+
+
+@register("realesrgan_x2")
+def realesrgan_x2(**kw: Any) -> RealESRGANNet:
+    return RealESRGANNet(upscale_factor=2, **kw)
+
+
+@register("gen_rpa2x")
+def gen_rpa2x(**kw: Any) -> GeneratorRPA:
+    return GeneratorRPA(scale=2, **kw)
+
+
+@register("gen_rrdb2x")
+def gen_rrdb2x(**kw: Any) -> GeneratorRRDB:
+    return GeneratorRRDB(scale=2, **kw)

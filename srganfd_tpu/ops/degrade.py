@@ -1,0 +1,237 @@
+"""BSRGAN degradation chain, TPU-native.
+
+Parity target: ``degradation_process`` (``BSRGAN/imgproc.py:492-562``) as
+shipped in this fork — ops 2/3/4 (the two extra downsamplers and Gaussian
+noise) are disabled by ``continue``, leaving:
+
+  [optional 1/2 pre-downscale when sf==4, p=scale2_prob]
+  -> shuffled {blur, blur, maybe-JPEG(p=jpeg_prob)}
+  -> final JPEG (always)
+  -> final MATLAB bicubic 1/sf
+
+plus ``degradation_process_plus`` (``BSRGAN/imgproc.py:565-623``), the
+11-op variant (USM, blur/resize/gauss/poisson/speckle/JPEG x2 rounds).
+
+Design: the reference runs this per-sample on CPU inside DataLoader
+workers (SURVEY.md §3.1 hot spot). Here all *random decisions* are sampled
+on the host per batch (cheap numpy), packed into a static-shaped
+``BsrganPlan``, and the *image math* runs on-device as one jitted program:
+batched depthwise blur, DiffJPEG with per-sample quality + apply mask, and
+the gather+einsum MATLAB bicubic.
+
+Faithfulness deviations (documented, distribution-preserving):
+- The two blur slots commute (linear convolution), so only the JPEG
+  position within the 3-op shuffle matters; it is sampled uniformly
+  per *batch* rather than per sample (one compiled program, no 3x JPEG).
+- JPEG quantization uses DiffJPEG rather than cv2's entropy-coded codec
+  (same transform/quantization; no entropy coding, which is lossless).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from srganfd_tpu.ops import filters, kernels
+from srganfd_tpu.ops.jpeg import diff_jpeg
+from srganfd_tpu.ops.resize import cv2_style_resize, imresize
+
+__all__ = ["BsrganPlan", "plan_bsrgan_batch", "apply_bsrgan_batch", "bsrgan_degradation"]
+
+_KPAD = 25  # max BSRGAN kernel size (2*11+3)
+
+
+@dataclasses.dataclass(frozen=True)
+class BsrganPlan:
+    """Static-shaped per-batch degradation plan (host-sampled randomness)."""
+
+    kernels_a: np.ndarray  # (N, 25, 25)
+    kernels_b: np.ndarray  # (N, 25, 25)
+    jpeg_quality: np.ndarray  # (N,) mid-chain quality
+    jpeg_apply: np.ndarray  # (N,) float mask {0,1}
+    jpeg_pos: int  # 0 before blurs, 1 between, 2 after
+    final_jpeg_quality: np.ndarray  # (N,)
+    scale2: bool  # per-batch 1/2 pre-downscale (sf==4 only)
+    scale2_interp: int  # 0 = MATLAB bicubic, else cv2 flag 1/2/3
+    effective_upscale: int
+
+
+def plan_bsrgan_batch(
+    rng: np.random.Generator,
+    batch_size: int,
+    upscale_factor: int,
+    jpeg_prob: float = 0.9,
+    scale2_prob: float = 0.25,
+    **_unused,
+) -> BsrganPlan:
+    """Sample all chain randomness for one batch (host side)."""
+    ka = np.stack(
+        [
+            kernels.pad_kernel(kernels.bsrgan_random_blur_kernel(rng, upscale_factor), _KPAD)
+            for _ in range(batch_size)
+        ]
+    ).astype(np.float32)
+    kb = np.stack(
+        [
+            kernels.pad_kernel(kernels.bsrgan_random_blur_kernel(rng, upscale_factor), _KPAD)
+            for _ in range(batch_size)
+        ]
+    ).astype(np.float32)
+    scale2 = bool(upscale_factor == 4 and rng.random() < scale2_prob)
+    scale2_interp = int(rng.choice([1, 2, 3])) if (scale2 and rng.random() < 0.5) else 0
+    return BsrganPlan(
+        kernels_a=ka,
+        kernels_b=kb,
+        jpeg_quality=rng.integers(30, 96, size=batch_size).astype(np.float32),
+        jpeg_apply=(rng.random(batch_size) < jpeg_prob).astype(np.float32),
+        jpeg_pos=int(rng.integers(0, 3)),
+        final_jpeg_quality=rng.integers(30, 96, size=batch_size).astype(np.float32),
+        scale2=scale2,
+        scale2_interp=scale2_interp,
+        effective_upscale=2 if scale2 else upscale_factor,
+    )
+
+
+def _pad16(x: jax.Array) -> tuple[jax.Array, int, int]:
+    h, w = x.shape[1], x.shape[2]
+    ph = (-h) % 16
+    pw = (-w) % 16
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
+    return x, h, w
+
+
+def _masked_jpeg(x: jax.Array, quality: jax.Array, mask: jax.Array | None) -> jax.Array:
+    padded, h, w = _pad16(x)
+    out = diff_jpeg(padded, quality, differentiable=False)[:, :h, :w, :]
+    if mask is None:
+        return out
+    m = mask[:, None, None, None]
+    return m * out + (1.0 - m) * x
+
+
+@functools.partial(
+    jax.jit, static_argnames=("jpeg_pos", "scale2", "scale2_interp", "effective_upscale")
+)
+def _apply_chain(
+    images: jax.Array,
+    kernels_a: jax.Array,
+    kernels_b: jax.Array,
+    jpeg_quality: jax.Array,
+    jpeg_apply: jax.Array,
+    final_jpeg_quality: jax.Array,
+    jpeg_pos: int,
+    scale2: bool,
+    scale2_interp: int,
+    effective_upscale: int,
+) -> jax.Array:
+    x = images.astype(jnp.float32)
+    if scale2:
+        h, w = x.shape[1], x.shape[2]
+        if scale2_interp == 0:
+            x = imresize(x, 0.5)
+        else:
+            x = cv2_style_resize(x, (int(0.5 * h), int(0.5 * w)), scale2_interp)
+        x = jnp.clip(x, 0.0, 1.0)
+
+    if jpeg_pos == 0:
+        x = _masked_jpeg(x, jpeg_quality, jpeg_apply)
+    x = filters.filter2d(x, kernels_a)
+    if jpeg_pos == 1:
+        x = _masked_jpeg(x, jpeg_quality, jpeg_apply)
+    x = filters.filter2d(x, kernels_b)
+    if jpeg_pos == 2:
+        x = _masked_jpeg(x, jpeg_quality, jpeg_apply)
+
+    x = _masked_jpeg(x, final_jpeg_quality, None)  # final JPEG, always
+    x = imresize(x, 1.0 / effective_upscale)
+    return x
+
+
+def apply_bsrgan_batch(images: jax.Array, plan: BsrganPlan) -> jax.Array:
+    """Run the chain on-device. images: (N, H, W, 3) RGB [0,1].
+
+    Output spatial size: ceil(H' / effective_upscale) where H' is H (or H/2
+    after the pre-downscale) — identical to the reference's final
+    ``image_resize(image, 1/sf)``.
+    """
+    return _apply_chain(
+        images,
+        jnp.asarray(plan.kernels_a),
+        jnp.asarray(plan.kernels_b),
+        jnp.asarray(plan.jpeg_quality),
+        jnp.asarray(plan.jpeg_apply),
+        jnp.asarray(plan.final_jpeg_quality),
+        plan.jpeg_pos,
+        plan.scale2,
+        plan.scale2_interp,
+        plan.effective_upscale,
+    )
+
+
+def bsrgan_degradation(
+    images: jax.Array,
+    rng: np.random.Generator,
+    upscale_factor: int,
+    **params,
+) -> jax.Array:
+    """Convenience wrapper: plan + apply in one call."""
+    plan = plan_bsrgan_batch(rng, images.shape[0], upscale_factor, **params)
+    return apply_bsrgan_batch(images, plan)
+
+
+# ---------------------------------------------------------------------------
+# Noise primitives shared with degradation_process_plus / Real-ESRGAN
+# (parity: BSRGAN/imgproc.py:229-280, Real_ESRGAN/imgproc.py:832-1089).
+# ---------------------------------------------------------------------------
+
+
+def add_gaussian_noise(
+    x: jax.Array, key: jax.Array, sigma: jax.Array, gray_mask: jax.Array
+) -> jax.Array:
+    """Per-sample Gaussian noise; ``sigma`` (N,) in [0,1] units,
+    ``gray_mask`` (N,) 1.0 => single-channel noise broadcast over RGB."""
+    n, h, w, c = x.shape
+    k1, k2 = jax.random.split(key)
+    color = jax.random.normal(k1, (n, h, w, c), x.dtype)
+    gray = jax.random.normal(k2, (n, h, w, 1), x.dtype)
+    noise = jnp.where(gray_mask[:, None, None, None] > 0.5, gray, color)
+    return jnp.clip(x + noise * sigma[:, None, None, None], 0.0, 1.0)
+
+
+def add_poisson_noise(
+    x: jax.Array, key: jax.Array, scale: jax.Array, gray_mask: jax.Array
+) -> jax.Array:
+    """Real-ESRGAN-style Poisson (shot) noise: per-sample ``vals`` from the
+    unique-value heuristic is replaced by the torch implementation's
+    10**ceil(log10(levels)) approximation using 255 levels; noise is
+    (poisson(x*vals)/vals - x) * scale."""
+    n = x.shape[0]
+    vals = 10.0 ** math.ceil(math.log10(256.0))  # 1000, matching 8-bit inputs
+    k1, k2 = jax.random.split(key)
+    rounded = jnp.clip(jnp.round(x * 255.0), 0, 255) / 255.0
+    noisy = jax.random.poisson(k1, rounded * vals, x.shape).astype(x.dtype) / vals
+    noise_color = noisy - rounded
+    gray_src = jnp.mean(rounded, axis=-1, keepdims=True)
+    noisy_gray = jax.random.poisson(k2, gray_src * vals, gray_src.shape).astype(x.dtype) / vals
+    noise_gray = jnp.broadcast_to(noisy_gray - gray_src, x.shape)
+    noise = jnp.where(gray_mask[:, None, None, None] > 0.5, noise_gray, noise_color)
+    return jnp.clip(x + noise * scale[:, None, None, None], 0.0, 1.0)
+
+
+def add_speckle_noise(
+    x: jax.Array, key: jax.Array, sigma: jax.Array, gray_mask: jax.Array
+) -> jax.Array:
+    """Multiplicative Gaussian noise (``BSRGAN/imgproc.py:263-280``)."""
+    n, h, w, c = x.shape
+    k1, k2 = jax.random.split(key)
+    color = jax.random.normal(k1, (n, h, w, c), x.dtype)
+    gray = jax.random.normal(k2, (n, h, w, 1), x.dtype)
+    noise = jnp.where(gray_mask[:, None, None, None] > 0.5, gray, color)
+    xc = jnp.clip(x, 0.0, 1.0)
+    return jnp.clip(xc + xc * noise * sigma[:, None, None, None], 0.0, 1.0)

@@ -1,0 +1,188 @@
+"""Host-side blur-kernel synthesis (numpy) for the degradation pipelines.
+
+These run on the host data-pipeline side (cheap, tiny arrays) and feed the
+on-device degradation ops as padded ``(N, K, K)`` batches — the TPU-native
+equivalent of the reference running them inside DataLoader workers.
+
+Parity targets:
+- BSRGAN iso/aniso Gaussians: ``BSRGAN/imgproc.py:160-208`` (MATLAB
+  ``fspecial('gaussian')`` and the rotated-covariance pdf grid).
+- Real-ESRGAN kernel family: bivariate iso/aniso Gaussian, generalized
+  Gaussian, plateau, 2-D sinc via Bessel J1, and the ``random_mixed_kernels``
+  dispatcher (``Real_ESRGAN/imgproc.py:228-606``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy import special
+
+__all__ = [
+    "fspecial_gaussian",
+    "anisotropic_gaussian",
+    "bsrgan_random_blur_kernel",
+    "bivariate_gaussian",
+    "bivariate_generalized_gaussian",
+    "bivariate_plateau",
+    "sinc_kernel",
+    "random_mixed_kernel",
+    "pad_kernel",
+]
+
+
+def fspecial_gaussian(size: int, sigma: float) -> np.ndarray:
+    """MATLAB fspecial('gaussian', size, sigma)."""
+    half = (size - 1) / 2.0
+    y, x = np.mgrid[-half : half + 1, -half : half + 1]
+    h = np.exp(-(x * x + y * y) / (2.0 * sigma * sigma))
+    h[h < np.finfo(float).eps * h.max()] = 0.0
+    s = h.sum()
+    return h / s if s != 0 else h
+
+
+def _rotated_sigma(theta: float, l1: float, l2: float) -> np.ndarray:
+    """Covariance with principal axis at angle theta and eigenvalues l1/l2
+    (the BSRGAN construction via the reflection matrix V)."""
+    v = np.array([np.cos(theta), np.sin(theta)])
+    vmat = np.array([[v[0], v[1]], [v[1], -v[0]]])
+    d = np.diag([l1, l2])
+    return vmat @ d @ np.linalg.inv(vmat)
+
+
+def anisotropic_gaussian(ksize: int, theta: float, l1: float, l2: float) -> np.ndarray:
+    """BSRGAN anisotropic Gaussian: pdf of N(0, Sigma) sampled on the
+    1-based-center grid (``BSRGAN/imgproc.py:185-208``)."""
+    sigma = _rotated_sigma(theta, l1, l2)
+    center = ksize / 2.0 + 0.5
+    yy, xx = np.mgrid[1 : ksize + 1, 1 : ksize + 1]
+    coords = np.stack([xx - center, yy - center], axis=-1).astype(np.float64)
+    inv = np.linalg.inv(sigma)
+    det = np.linalg.det(sigma)
+    quad = np.einsum("...i,ij,...j->...", coords, inv, coords)
+    k = np.exp(-0.5 * quad) / (2.0 * np.pi * np.sqrt(det))
+    return k / k.sum()
+
+
+def bsrgan_random_blur_kernel(rng: np.random.Generator, upscale_factor: int) -> np.ndarray:
+    """One random blur kernel with the `_add_blur` distribution
+    (``BSRGAN/imgproc.py:211-225``): 50% anisotropic with eigenvalues
+    U(0, 4+sf), else isotropic fspecial with sigma U(0, 2+0.2sf);
+    ksize = 2*randint(2,11)+3 in both cases."""
+    wd = 2.0 + 0.2 * upscale_factor
+    wd2 = 4.0 + upscale_factor
+    ksize = 2 * int(rng.integers(2, 12)) + 3  # randint(2,11) inclusive
+    if rng.random() < 0.5:
+        return anisotropic_gaussian(
+            ksize, rng.random() * np.pi, wd2 * rng.random(), wd2 * rng.random()
+        )
+    return fspecial_gaussian(ksize, wd * rng.random())
+
+
+# --- Real-ESRGAN kernel family ----------------------------------------------
+
+
+def _mesh_grid(size: int) -> np.ndarray:
+    half = (size - 1) / 2.0
+    y, x = np.mgrid[-half : half + 1, -half : half + 1]
+    return np.stack([x, y], axis=-1)
+
+
+def _sigma_matrix(sigma_x: float, sigma_y: float, theta: float) -> np.ndarray:
+    d = np.array([[sigma_x**2, 0.0], [0.0, sigma_y**2]])
+    u = np.array([[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]])
+    return u @ d @ u.T
+
+
+def bivariate_gaussian(
+    size: int, sigma_x: float, sigma_y: float | None = None, theta: float = 0.0
+) -> np.ndarray:
+    """Iso (sigma_y=None) or anisotropic bivariate Gaussian, normalized."""
+    sigma_y = sigma_x if sigma_y is None else sigma_y
+    inv = np.linalg.inv(_sigma_matrix(sigma_x, sigma_y, theta))
+    xy = _mesh_grid(size)
+    quad = np.einsum("...i,ij,...j->...", xy, inv, xy)
+    k = np.exp(-0.5 * quad)
+    return k / k.sum()
+
+
+def bivariate_generalized_gaussian(
+    size: int, sigma_x: float, sigma_y: float | None, theta: float, beta: float
+) -> np.ndarray:
+    """exp(-0.5 * (x^T S^-1 x)^beta), normalized (Real-ESRGAN family)."""
+    sigma_y = sigma_x if sigma_y is None else sigma_y
+    inv = np.linalg.inv(_sigma_matrix(sigma_x, sigma_y, theta))
+    xy = _mesh_grid(size)
+    quad = np.einsum("...i,ij,...j->...", xy, inv, xy)
+    k = np.exp(-0.5 * np.power(quad, beta))
+    return k / k.sum()
+
+
+def bivariate_plateau(
+    size: int, sigma_x: float, sigma_y: float | None, theta: float, beta: float
+) -> np.ndarray:
+    """1/(1 + (x^T S^-1 x)^beta), normalized (Real-ESRGAN family)."""
+    sigma_y = sigma_x if sigma_y is None else sigma_y
+    inv = np.linalg.inv(_sigma_matrix(sigma_x, sigma_y, theta))
+    xy = _mesh_grid(size)
+    quad = np.einsum("...i,ij,...j->...", xy, inv, xy)
+    k = np.reciprocal(np.power(quad, beta) + 1.0)
+    return k / k.sum()
+
+
+def sinc_kernel(cutoff: float, size: int, pad_to: int = 0) -> np.ndarray:
+    """2-D circular low-pass (sinc) filter via Bessel J1
+    (``Real_ESRGAN/imgproc.py:579-606``): k(r) = cutoff * J1(cutoff*r) /
+    (2 pi r), with the r=0 limit cutoff^2/(4 pi)."""
+    assert size % 2 == 1
+    half = (size - 1) / 2.0
+    y, x = np.mgrid[-half : half + 1, -half : half + 1]
+    r = np.hypot(x, y)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        k = cutoff * special.j1(cutoff * r) / (2.0 * np.pi * r)
+    k[size // 2, size // 2] = cutoff**2 / (4.0 * np.pi)
+    k = k / k.sum()
+    if pad_to > size:
+        p = (pad_to - size) // 2
+        k = np.pad(k, ((p, p), (p, p)))
+    return k
+
+
+def random_mixed_kernel(
+    rng: np.random.Generator,
+    kernel_size: int,
+    kernel_types: tuple[str, ...],
+    kernel_probs: tuple[float, ...],
+    sigma_range: tuple[float, float],
+    beta_g_range: tuple[float, float],
+    beta_p_range: tuple[float, float],
+) -> np.ndarray:
+    """Real-ESRGAN ``random_mixed_kernels`` dispatcher
+    (``Real_ESRGAN/imgproc.py:495-576``): choose a kernel family by
+    probability, sample its parameters uniformly."""
+    kind = rng.choice(len(kernel_types), p=np.asarray(kernel_probs) / np.sum(kernel_probs))
+    kind = kernel_types[int(kind)]
+    sx = rng.uniform(*sigma_range)
+    sy = rng.uniform(*sigma_range)
+    theta = rng.uniform(-np.pi, np.pi)
+    if kind == "isotropic":
+        return bivariate_gaussian(kernel_size, sx)
+    if kind == "anisotropic":
+        return bivariate_gaussian(kernel_size, sx, sy, theta)
+    if kind == "generalized_isotropic":
+        return bivariate_generalized_gaussian(kernel_size, sx, None, 0.0, rng.uniform(*beta_g_range))
+    if kind == "generalized_anisotropic":
+        return bivariate_generalized_gaussian(kernel_size, sx, sy, theta, rng.uniform(*beta_g_range))
+    if kind == "plateau_isotropic":
+        return bivariate_plateau(kernel_size, sx, None, 0.0, rng.uniform(*beta_p_range))
+    if kind == "plateau_anisotropic":
+        return bivariate_plateau(kernel_size, sx, sy, theta, rng.uniform(*beta_p_range))
+    raise ValueError(f"unknown kernel type {kind}")
+
+
+def pad_kernel(k: np.ndarray, size: int) -> np.ndarray:
+    """Center-pad an odd-sized kernel to ``size`` x ``size`` (zero fill) so
+    batches of mixed-size kernels have a static shape for the device op."""
+    p = (size - k.shape[0]) // 2
+    if p < 0:
+        raise ValueError(f"kernel {k.shape} larger than pad target {size}")
+    return np.pad(k, ((p, size - k.shape[0] - p), (p, size - k.shape[1] - p)))

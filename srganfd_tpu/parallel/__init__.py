@@ -1,0 +1,11 @@
+"""Device mesh, shardings and host->HBM prefetch — the framework's
+"communication backend" (SURVEY.md §2.9): XLA collectives over ICI ride
+the shardings declared here; there is no hand-written NCCL/MPI analog."""
+
+from srganfd_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    shard_batch,
+)
+from srganfd_tpu.parallel.prefetch import prefetch_to_device  # noqa: F401

@@ -1,0 +1,76 @@
+"""Checkpoint save/restore via Orbax.
+
+Parity target: ``save_checkpoint``/``load_state_dict``
+(``ESRGAN/utils.py:30-101``): dicts of {epoch, best_psnr, best_ssim,
+state_dict, ema_state_dict, optimizer, scheduler}, with best/last copies.
+Here the whole GanTrainState pytree round-trips through one Orbax
+checkpointer; "best"/"last" are directory names like the reference's
+``g_best.pth.tar``/``g_last.pth.tar`` copies.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+__all__ = ["save_checkpoint", "load_checkpoint", "restore_into"]
+
+
+def _to_host(tree: Any) -> Any:
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(
+    directory: str,
+    state: Any,
+    epoch: int,
+    best_metrics: dict[str, float],
+    is_best: bool,
+    name: str = "ckpt",
+) -> None:
+    """Write ``<dir>/<name>_last`` (always) and ``<dir>/<name>_best``
+    (when ``is_best``), each a full training-state snapshot."""
+    os.makedirs(directory, exist_ok=True)
+    payload = {
+        "state": _to_host(state),
+        "epoch": np.asarray(epoch),
+        "best_metrics": {k: np.asarray(v) for k, v in best_metrics.items()},
+    }
+    ckptr = ocp.StandardCheckpointer()
+    targets = [os.path.join(directory, f"{name}_last")]
+    if is_best:
+        targets.append(os.path.join(directory, f"{name}_best"))
+    for t in targets:
+        ckptr.save(os.path.abspath(t), payload, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint(path: str, template: Any | None = None) -> dict[str, Any]:
+    """Restore a checkpoint payload; with ``template`` the state pytree is
+    restored with matching structure/dtypes (shape-filtered subsets like
+    the reference's ``load_state_dict`` are handled by ``restore_into``)."""
+    ckptr = ocp.StandardCheckpointer()
+    if template is not None:
+        target = {
+            "state": _to_host(template),
+            "epoch": np.asarray(0),
+            "best_metrics": {"psnr": np.asarray(0.0), "ssim": np.asarray(0.0)},
+        }
+        return ckptr.restore(os.path.abspath(path), target)
+    return ckptr.restore(os.path.abspath(path))
+
+
+def restore_into(current: Any, loaded: Any) -> Any:
+    """Shape-filtered merge (``ESRGAN/utils.py:68-77``): keep loaded leaves
+    whose shapes match the current pytree, fall back to current otherwise."""
+    flat_cur, treedef = jax.tree_util.tree_flatten(current)
+    flat_new = jax.tree_util.tree_leaves(loaded)
+    merged = [
+        n if getattr(n, "shape", None) == getattr(c, "shape", None) else c
+        for c, n in zip(flat_cur, flat_new)
+    ]
+    return jax.tree_util.tree_unflatten(treedef, merged)

@@ -1,0 +1,275 @@
+"""Jitted GAN / generator-only train and eval steps.
+
+Parity targets (per-family step structure):
+- ESRGAN (G first, relativistic): ``ESRGAN/train_esrgan.py:350-425``
+- BSRGAN / A-ESRGAN (D first, plain BCE on label maps, G's adversarial
+  term evaluated against the *updated* D): ``BSRGAN/train_bsrgan.py:395-471``
+- Real-ESRGAN (G first, plain BCE, losses vs the USM-sharpened GT):
+  ``Real_ESRGAN/train_realesrgan.py:392-471``
+- generator-only L1 pretrain: ``ESRGAN/train_rrdbnet.py:213-286``
+
+TPU design notes:
+- One jitted step covers {G update, D update, EMA}: no AMP GradScaler —
+  bf16 compute with f32 params/optimizer needs no loss scaling.
+- The generator runs forward exactly once per step via ``jax.vjp``; each
+  loss pulls its cotangent back through the saved residuals, matching the
+  reference's retained-graph backward instead of recomputing the 23-RRDB
+  trunk.
+- Discriminator mutable state (spectral-norm u's, BatchNorm stats) is
+  threaded through every D forward with ``train=True``, mirroring the
+  torch modules living in ``.train()`` mode for the whole step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from srganfd_tpu.configs.base import ExperimentConfig
+from srganfd_tpu.losses.content import ContentLoss
+from srganfd_tpu.losses.gan import bce_with_logits, relativistic_d_loss, relativistic_g_loss
+from srganfd_tpu.models import create_model
+from srganfd_tpu.train.schedule import multistep_lr
+from srganfd_tpu.train.state import GanTrainState, ema_update
+
+__all__ = ["Trainer"]
+
+
+def _first(x):
+    """Discriminators that expose attention maps return tuples; the loss
+    only needs the logit map."""
+    return x[0] if isinstance(x, tuple) else x
+
+
+def _weighted(weights: tuple[float, ...], losses: jax.Array) -> jax.Array:
+    """torch.sum(torch.mul(w, losses)) with broadcast semantics
+    (``BSRGAN/train_bsrgan.py:450-453``): scalar weight lists scale the
+    summed loss; per-node lists dot with per-node losses."""
+    w = jnp.asarray(weights, jnp.float32)
+    losses = jnp.atleast_1d(losses)
+    if w.shape[0] == 1 or losses.shape[0] == 1 or w.shape[0] == losses.shape[0]:
+        return jnp.sum(w * losses)
+    raise ValueError(f"weight list {w.shape} incompatible with losses {losses.shape}")
+
+
+class Trainer:
+    """Builds models/optimizers from an ExperimentConfig and exposes jitted
+    ``train_step`` / ``eval_sr`` functions."""
+
+    def __init__(self, cfg: ExperimentConfig, steps_per_epoch: int = 1000) -> None:
+        self.cfg = cfg
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        self.g_model = create_model(cfg.g_arch, dtype=dtype, **cfg.g_kwargs)
+        self.d_model = (
+            create_model(cfg.d_arch, dtype=dtype, **cfg.d_kwargs) if cfg.d_arch else None
+        )
+        self.content_loss = (
+            ContentLoss(
+                nodes=cfg.feature_nodes,
+                weights=cfg.content_weight or 1.0,
+                normalize_mean=cfg.feature_normalize_mean,
+                normalize_std=cfg.feature_normalize_std,
+                detach_bug=cfg.content_detach_bug,
+                dtype=dtype,
+            )
+            if cfg.content_weight
+            else None
+        )
+
+        milestones = tuple(m * steps_per_epoch for m in cfg.milestones_epochs)
+        self.g_tx = optax.adamw(
+            multistep_lr(cfg.model_lr, milestones, cfg.lr_scheduler_gamma),
+            b1=cfg.model_betas[0],
+            b2=cfg.model_betas[1],
+            eps=cfg.model_eps,
+            weight_decay=cfg.model_weight_decay,
+        )
+        d_lr = cfg.discriminator_lr or cfg.model_lr
+        self.d_tx = optax.adamw(
+            multistep_lr(d_lr, milestones, cfg.lr_scheduler_gamma),
+            b1=cfg.model_betas[0],
+            b2=cfg.model_betas[1],
+            eps=cfg.model_eps,
+            weight_decay=cfg.model_weight_decay,
+        )
+        self._train_step = None
+
+    # -- initialization ------------------------------------------------------
+
+    def init_state(self, rng: jax.Array, lr_shape: tuple, gt_shape: tuple) -> GanTrainState:
+        g_rng, d_rng = jax.random.split(rng)
+        g_vars = self.g_model.init(g_rng, jnp.zeros(lr_shape, jnp.float32))
+        g_params = g_vars["params"]
+        d_params = d_vars = d_opt = None
+        if self.d_model is not None:
+            dv = self.d_model.init(d_rng, jnp.zeros(gt_shape, jnp.float32))
+            d_params = dv["params"]
+            d_vars = {k: v for k, v in dv.items() if k != "params"}
+            d_opt = self.d_tx.init(d_params)
+        return GanTrainState(
+            step=jnp.zeros((), jnp.int32),
+            g_params=g_params,
+            g_opt_state=self.g_tx.init(g_params),
+            # real copy: EMA must not alias g_params (jit donates the state)
+            ema_g_params=jax.tree_util.tree_map(jnp.copy, g_params),
+            d_params=d_params,
+            d_opt_state=d_opt,
+            d_vars=d_vars,
+            g_vars={k: v for k, v in g_vars.items() if k != "params"} or None,
+        )
+
+    # -- pieces ---------------------------------------------------------------
+
+    def _g_apply(self, params: Any, lr_img: jax.Array) -> jax.Array:
+        return self.g_model.apply({"params": params}, lr_img)
+
+    def _d_apply(
+        self, params: Any, d_vars: Any, x: jax.Array, update_stats: bool
+    ) -> tuple[jax.Array, Any]:
+        variables = {"params": params, **(d_vars or {})}
+        mutable = list(d_vars.keys()) if (d_vars and update_stats) else False
+        kwargs = {}
+        # every discriminator family takes `train`; SNConv power iteration
+        # and BatchNorm stats update only when asked
+        kwargs["train"] = update_stats
+        if mutable:
+            out, new_vars = self.d_model.apply(variables, x, mutable=mutable, **kwargs)
+            return _first(out), new_vars
+        out = self.d_model.apply(variables, x, **kwargs)
+        return _first(out), d_vars
+
+    # -- the step -------------------------------------------------------------
+
+    def make_train_step(self, separate_pixel_target: bool = False) -> Callable:
+        """``separate_pixel_target=True`` yields a 4-arg step
+        ``(state, gt, lr, gt_pixel)`` where pixel/content losses target
+        ``gt_pixel`` (Real-ESRGAN's USM-sharpened GT,
+        ``Real_ESRGAN/train_realesrgan.py:424-426``) while the
+        discriminator's real input stays the raw ``gt`` (:452)."""
+        cfg = self.cfg
+        pixel_w = cfg.pixel_weight
+        adv_w = cfg.adversarial_weight
+        has_d = self.d_model is not None and bool(adv_w)
+
+        def g_losses(sr: jax.Array, gt: jax.Array, d_params, d_vars):
+            parts = {}
+            pixel = _weighted(pixel_w, jnp.mean(jnp.abs(sr - gt)))
+            parts["pixel_loss"] = pixel
+            total = pixel
+            if self.content_loss is not None:
+                content = self.content_loss(sr, gt)
+                parts["content_loss"] = content
+                total = total + content
+            if has_d:
+                sr_out, _ = self._d_apply(d_params, d_vars, sr, update_stats=False)
+                if cfg.relativistic_gan:
+                    gt_out, _ = self._d_apply(d_params, d_vars, gt, update_stats=False)
+                    adv = _weighted(
+                        adv_w, relativistic_g_loss(jax.lax.stop_gradient(gt_out), sr_out)
+                    )
+                else:
+                    adv = _weighted(adv_w, bce_with_logits(sr_out, jnp.ones_like(sr_out)))
+                parts["adversarial_loss"] = adv
+                total = total + adv
+            parts["g_loss"] = total
+            return total, parts
+
+        def d_update(state: GanTrainState, gt: jax.Array, sr_detached: jax.Array):
+            def d_loss_fn(d_params, d_vars):
+                gt_out, d_vars = self._d_apply(d_params, d_vars, gt, update_stats=True)
+                sr_out, d_vars = self._d_apply(d_params, d_vars, sr_detached, update_stats=True)
+                if cfg.relativistic_gan:
+                    loss = relativistic_d_loss(gt_out, sr_out)
+                else:
+                    loss = bce_with_logits(gt_out, jnp.ones_like(gt_out)) + bce_with_logits(
+                        sr_out, jnp.zeros_like(sr_out)
+                    )
+                aux = {
+                    "d_loss": loss,
+                    "d_gt_probability": jnp.mean(jax.nn.sigmoid(gt_out)),
+                    "d_sr_probability": jnp.mean(jax.nn.sigmoid(sr_out)),
+                    "d_vars": d_vars,
+                }
+                return loss, aux
+
+            (_, aux), grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+                state.d_params, state.d_vars
+            )
+            updates, d_opt_state = self.d_tx.update(
+                grads, state.d_opt_state, state.d_params
+            )
+            d_params = optax.apply_updates(state.d_params, updates)
+            state = state.replace(
+                d_params=d_params, d_opt_state=d_opt_state, d_vars=aux.pop("d_vars")
+            )
+            return state, aux
+
+        def g_update(state: GanTrainState, gt_pixel: jax.Array, lr_img: jax.Array):
+            # one generator forward; losses pull back through the residuals
+            sr, g_vjp = jax.vjp(lambda p: self._g_apply(p, lr_img), state.g_params)
+
+            def loss_wrt_sr(sr_in):
+                return g_losses(sr_in, gt_pixel, state.d_params, state.d_vars)
+
+            (_, parts), sr_grad = jax.value_and_grad(loss_wrt_sr, has_aux=True)(sr)
+            (g_grads,) = g_vjp(sr_grad)
+            updates, g_opt_state = self.g_tx.update(g_grads, state.g_opt_state, state.g_params)
+            g_params = optax.apply_updates(state.g_params, updates)
+            ema = ema_update(state.ema_g_params, g_params, cfg.model_ema_decay)
+            state = state.replace(
+                g_params=g_params,
+                g_opt_state=g_opt_state,
+                ema_g_params=ema,
+                step=state.step + 1,
+            )
+            return state, parts, jax.lax.stop_gradient(sr)
+
+        def step_impl(state: GanTrainState, gt: jax.Array, lr_img: jax.Array, gt_pixel: jax.Array):
+            metrics: dict[str, jax.Array] = {}
+            if not has_d:
+                state, parts, _ = g_update(state, gt_pixel, lr_img)
+                metrics.update(parts)
+                return state, metrics
+            if cfg.g_step_first:
+                # ESRGAN/Real-ESRGAN: G update against the old D, then D
+                # update on the same sr (ESRGAN/train_esrgan.py:362-425).
+                state, parts, sr = g_update(state, gt_pixel, lr_img)
+                metrics.update(parts)
+                state, d_aux = d_update(state, gt, sr)
+                metrics.update(d_aux)
+            else:
+                # BSRGAN/A-ESRGAN: D update on old-G sr, then G update whose
+                # adversarial term sees the new D (train_bsrgan.py:406-471).
+                sr0 = jax.lax.stop_gradient(self._g_apply(state.g_params, lr_img))
+                state, d_aux = d_update(state, gt, sr0)
+                metrics.update(d_aux)
+                state, parts, _ = g_update(state, gt_pixel, lr_img)
+                metrics.update(parts)
+            return state, metrics
+
+        if separate_pixel_target:
+            return jax.jit(step_impl, donate_argnums=(0,))
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def train_step(state: GanTrainState, gt: jax.Array, lr_img: jax.Array):
+            return step_impl(state, gt, lr_img, gt)
+
+        return train_step
+
+    @property
+    def train_step(self) -> Callable:
+        if self._train_step is None:
+            self._train_step = self.make_train_step()
+        return self._train_step
+
+    # -- eval -----------------------------------------------------------------
+
+    @functools.cached_property
+    def eval_sr(self) -> Callable:
+        """jitted ``(g_params, lr) -> sr`` (pass ``state.ema_g_params`` for
+        EMA evaluation, mirroring the reference validating the EMA model)."""
+        return jax.jit(self._g_apply)

@@ -1,0 +1,69 @@
+"""Dataset/loader tests over a synthetic image directory."""
+
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from srganfd_tpu.data.datasets import (
+    BatchLoader,
+    DegeneratedImageDataset,
+    TrainValidImageDataset,
+)
+
+
+@pytest.fixture(scope="module")
+def image_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("imgs")
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        img = (rng.uniform(0, 255, (96 + i, 128, 3))).astype(np.uint8)
+        cv2.imwrite(str(d / f"img_{i}.png"), img)
+    return str(d)
+
+
+def test_train_dataset_crops(image_dir):
+    ds = TrainValidImageDataset(image_dir, gt_image_size=64, mode="Train")
+    rec = ds.__getitem__(0, np.random.default_rng(0))
+    assert rec["gt"].shape == (64, 64, 3)
+    assert rec["gt"].dtype == np.float32
+    assert 0.0 <= rec["gt"].min() and rec["gt"].max() <= 1.0
+
+
+def test_valid_dataset_center_crop_deterministic(image_dir):
+    ds = TrainValidImageDataset(image_dir, gt_image_size=64, mode="Valid")
+    a = ds.__getitem__(1, np.random.default_rng(1))["gt"]
+    b = ds.__getitem__(1, np.random.default_rng(2))["gt"]
+    np.testing.assert_array_equal(a, b)
+
+
+def test_batch_loader_shapes_and_determinism(image_dir):
+    ds = TrainValidImageDataset(image_dir, gt_image_size=32, mode="Train")
+    loader = BatchLoader(ds, batch_size=4, seed=7, num_workers=2)
+    it = iter(loader)
+    b1 = next(it)
+    assert b1["gt"].shape == (4, 32, 32, 3)
+    loader2 = BatchLoader(ds, batch_size=4, seed=7, num_workers=2)
+    b1b = next(iter(loader2))
+    np.testing.assert_array_equal(b1["gt"], b1b["gt"])  # same seed => same batch
+
+
+def test_batch_loader_single_pass(image_dir):
+    ds = TrainValidImageDataset(image_dir, gt_image_size=32, mode="Valid")
+    loader = BatchLoader(ds, batch_size=2, shuffle=False, loop=False, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 3
+
+
+def test_degenerated_dataset_kernels(image_dir):
+    from srganfd_tpu.configs.realesrgan import degradation_model_parameters_dict as dm
+
+    ds = DegeneratedImageDataset(image_dir, 64, dm, mode="Train")
+    rec = ds.__getitem__(0, np.random.default_rng(0))
+    assert rec["kernel1"].shape == (21, 21)
+    assert rec["kernel2"].shape == (21, 21)
+    assert rec["sinc_kernel"].shape == (21, 21)
+    for k in ("kernel1", "kernel2", "sinc_kernel"):
+        assert abs(rec[k].sum() - 1.0) < 1e-4

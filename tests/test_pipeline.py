@@ -1,0 +1,72 @@
+"""End-to-end data-pipeline tests: dataset -> adapter -> (gt, lr) device
+batches for each degradation mode."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from srganfd_tpu.cli.degrade_adapter import DegradationAdapter
+from srganfd_tpu.configs import get_config
+
+
+def _gt_batch(n, size, seed=0):
+    return {"gt": np.random.default_rng(seed).uniform(size=(n, size, size, 3)).astype(np.float32)}
+
+
+def test_bicubic_adapter():
+    cfg = get_config("rrdbnet").replace(gt_image_size=64)
+    ad = DegradationAdapter(cfg, seed=0)
+    out = ad(_gt_batch(2, 64), 0)
+    assert out["gt"].shape == (2, 64, 64, 3)
+    assert out["lr"].shape == (2, 16, 16, 3)
+    assert 0.0 <= float(out["lr"].min()) and float(out["lr"].max()) <= 1.0
+
+
+def test_bsrgan_adapter_crops_aligned():
+    cfg = get_config("bsrgan").replace(crop_image_size=192, gt_image_size=96)
+    ad = DegradationAdapter(cfg, seed=0)
+    out = ad(_gt_batch(2, 192), 0)
+    assert out["gt"].shape == (2, 96, 96, 3)
+    assert out["lr"].shape == (2, 48, 48, 3)
+
+
+def test_bsrgan_adapter_eval_mode_full_size():
+    cfg = get_config("bsrgan")
+    ad = DegradationAdapter(cfg, seed=0, train=False)
+    out = ad(_gt_batch(1, 128), 0)
+    assert out["gt"].shape == (1, 128, 128, 3)
+    assert out["lr"].shape == (1, 64, 64, 3)
+
+
+def test_realesrgan_adapter():
+    from srganfd_tpu.ops.realesrgan_degrade import sample_kernel_triple
+
+    cfg = get_config("realesrgan").replace(gt_image_size=64)
+    rng = np.random.default_rng(0)
+    batch = _gt_batch(2, 128)
+    ks = [sample_kernel_triple(rng, cfg.degradation_params["model"]) for _ in range(2)]
+    batch["kernel1"] = np.stack([k[0] for k in ks])
+    batch["kernel2"] = np.stack([k[1] for k in ks])
+    batch["sinc_kernel"] = np.stack([k[2] for k in ks])
+    ad = DegradationAdapter(cfg, seed=0)
+    out = ad(batch, 0)
+    assert out["gt"].shape == (2, 64, 64, 3)
+    assert out["gt_pixel"].shape == (2, 64, 64, 3)
+    assert out["lr"].shape == (2, 16, 16, 3)
+    assert np.isfinite(np.asarray(out["lr"])).all()
+
+
+def test_bsrgan_scale2_branch():
+    # force the x4 pre-downscale branch (scale2_prob=1)
+    cfg = get_config("bsrgan").replace(
+        upscale_factor=4,
+        g_arch="bsrgan_x4",
+        crop_image_size=192,
+        gt_image_size=96,
+        degradation_params={"jpeg_prob": 0.9, "scale2_prob": 1.0},
+    )
+    ad = DegradationAdapter(cfg, seed=0)
+    out = ad(_gt_batch(2, 192, seed=1), 0)
+    # effective sf becomes 2 after the half-downscale: gt halves to 96-crop
+    assert out["gt"].shape == (2, 96, 96, 3)
+    assert out["lr"].shape == (2, 48, 48, 3)

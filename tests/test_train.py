@@ -1,0 +1,113 @@
+"""Train-step smoke tests: generator-only and both GAN orderings, plus
+data-parallel execution on the 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from srganfd_tpu.configs import get_config
+from srganfd_tpu.parallel import make_mesh, shard_batch
+from srganfd_tpu.train.loop import Trainer
+from srganfd_tpu.train.state import GanTrainState
+
+
+def _tiny(cfg, **kw):
+    return cfg.replace(
+        compute_dtype="float32",
+        g_kwargs={"channels": 8, "growth_channels": 4, **cfg.g_kwargs},
+        d_kwargs={**cfg.d_kwargs},
+        **kw,
+    )
+
+
+def _batch(rng, n, gt_size, sf):
+    gt = rng.uniform(size=(n, gt_size, gt_size, 3)).astype(np.float32)
+    lr = gt[:, ::sf, ::sf, :]
+    return jnp.asarray(gt), jnp.asarray(lr)
+
+
+def test_generator_only_step_decreases_loss():
+    cfg = _tiny(get_config("rrdbnet"))
+    cfg = cfg.replace(g_kwargs={**cfg.g_kwargs, "num_blocks": 1}, model_lr=1e-3)
+    tr = Trainer(cfg, steps_per_epoch=10)
+    gt, lr = _batch(np.random.default_rng(0), 2, 32, 4)
+    state = tr.init_state(jax.random.PRNGKey(0), lr.shape, gt.shape)
+    losses = []
+    for _ in range(4):
+        state, metrics = tr.train_step(state, gt, lr)
+        losses.append(float(metrics["pixel_loss"]))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 4
+
+
+def test_esrgan_gan_step_runs():
+    cfg = _tiny(get_config("esrgan"))
+    cfg = cfg.replace(
+        g_kwargs={**cfg.g_kwargs, "num_blocks": 1},
+        content_weight=(),  # VGG off for speed; adversarial path is the target
+        gt_image_size=128,
+    )
+    tr = Trainer(cfg, steps_per_epoch=10)
+    gt, lr = _batch(np.random.default_rng(1), 2, 128, 4)
+    state = tr.init_state(jax.random.PRNGKey(1), lr.shape, gt.shape)
+    state, metrics = tr.train_step(state, gt, lr)
+    for key in ("pixel_loss", "adversarial_loss", "d_loss", "d_gt_probability", "d_sr_probability"):
+        assert key in metrics and np.isfinite(float(metrics[key])), key
+    # VGG-D batch_stats must have updated
+    assert state.d_vars and "batch_stats" in state.d_vars
+
+
+def test_bsrgan_d_first_step_runs():
+    cfg = _tiny(get_config("bsrgan"))
+    cfg = cfg.replace(
+        g_kwargs={**cfg.g_kwargs, "num_rrdb": 1},
+        content_weight=(),
+        gt_image_size=32,
+    )
+    tr = Trainer(cfg, steps_per_epoch=10)
+    gt, lr = _batch(np.random.default_rng(2), 2, 32, 2)
+    state = tr.init_state(jax.random.PRNGKey(2), lr.shape, gt.shape)
+    s0_spectral = jax.tree_util.tree_leaves(state.d_vars["spectral"])[0].copy()
+    state, metrics = tr.train_step(state, gt, lr)
+    assert np.isfinite(float(metrics["g_loss"]))
+    s1_spectral = jax.tree_util.tree_leaves(state.d_vars["spectral"])[0]
+    assert not np.allclose(np.asarray(s0_spectral), np.asarray(s1_spectral))
+
+
+def test_ema_tracks_params():
+    cfg = _tiny(get_config("rrdbnet"))
+    cfg = cfg.replace(g_kwargs={**cfg.g_kwargs, "num_blocks": 1}, model_ema_decay=0.5)
+    tr = Trainer(cfg, steps_per_epoch=10)
+    gt, lr = _batch(np.random.default_rng(3), 1, 16, 4)
+    state = tr.init_state(jax.random.PRNGKey(3), lr.shape, gt.shape)
+    state, _ = tr.train_step(state, gt, lr)
+    g0 = jax.tree_util.tree_leaves(state.g_params)[0]
+    e0 = jax.tree_util.tree_leaves(state.ema_g_params)[0]
+    assert not np.allclose(np.asarray(g0), np.asarray(e0))  # ema lags params
+
+
+def test_data_parallel_step_on_mesh(eight_devices):
+    mesh = make_mesh(devices=eight_devices)
+    cfg = _tiny(get_config("rrdbnet"))
+    cfg = cfg.replace(g_kwargs={**cfg.g_kwargs, "num_blocks": 1})
+    tr = Trainer(cfg, steps_per_epoch=10)
+    gt_h = np.random.default_rng(4).uniform(size=(8, 16, 16, 3)).astype(np.float32)
+    lr_h = gt_h[:, ::4, ::4, :]
+    state = tr.init_state(jax.random.PRNGKey(4), lr_h.shape, gt_h.shape)
+    batch = shard_batch({"gt": gt_h, "lr": lr_h}, mesh)
+    assert len(batch["gt"].sharding.device_set) == 8
+    state, metrics = tr.train_step(state, batch["gt"], batch["lr"])
+    assert np.isfinite(float(metrics["pixel_loss"]))
+    # parameters stay replicated: the update must be identical on devices
+    leaf = jax.tree_util.tree_leaves(state.g_params)[0]
+    assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_multistep_schedule():
+    from srganfd_tpu.train.schedule import multistep_lr
+
+    sched = multistep_lr(1.0, (10, 20), 0.5)
+    assert float(sched(0)) == 1.0
+    assert float(sched(10)) == 0.5
+    assert float(sched(25)) == 0.25
