@@ -45,6 +45,22 @@ def main() -> None:
     ap.add_argument("--weights", default="")
     ap.add_argument("--save-images", action="store_true")
     ap.add_argument("--max-images", type=int, default=0)
+    ap.add_argument(
+        "--subdivision-lpips",
+        action="store_true",
+        help="LPIPS on 2x2 quadrants, averaged (test_bsrgan.py:233-268)",
+    )
+    ap.add_argument(
+        "--save-discriminator-eval",
+        action="store_true",
+        help="log sigmoid heat-maps of D(gt) and D(sr) (test_bsrgan.py:182-212)",
+    )
+    ap.add_argument(
+        "--save-attention-layers",
+        action="store_true",
+        help="log discriminator attention maps (test_bsrgan.py:216-221 / A-ESRGAN getAttentionLayers)",
+    )
+    ap.add_argument("--niqe-model", default="", help=".mat pristine model; enables NIQE")
     args = ap.parse_args()
 
     cfg = configs.get_config(args.config, mode="test")
@@ -62,10 +78,20 @@ def main() -> None:
     if not lpips.pretrained:
         print("! LPIPS weights unavailable: reporting surrogate LPIPS (relative only)")
 
+    niqe_model = None
+    if args.niqe_model:
+        from srganfd_tpu.metrics import niqe as niqe_mod
+
+        niqe_model = niqe_mod.load_niqe_model(args.niqe_model)
+
+    d_model = d_variables = None
+    if (args.save_discriminator_eval or args.save_attention_layers) and cfg.d_arch:
+        d_model = create_model(cfg.d_arch, **cfg.d_kwargs)
+
     params = None
     apply_fn = jax.jit(lambda p, z: model.apply({"params": p}, z))
 
-    psnrs, ssims, lpipses = [], [], []
+    psnrs, ssims, lpipses, niqes = [], [], [], []
     for i, (gt_path, lr_path) in enumerate(zip(gt_paths, lr_paths)):
         gt = load_image_rgb(gt_path)
         gt, h0, w0 = _pad_to_multiple(gt, 16 * cfg.upscale_factor)
@@ -88,13 +114,61 @@ def main() -> None:
         gt_t = jnp.asarray(gt)[None]
         p = float(psnr_tensor(sr, gt_t, cfg.upscale_factor, cfg.only_test_y_channel)[0])
         s = float(ssim_tensor(sr, gt_t, cfg.upscale_factor, cfg.only_test_y_channel)[0])
-        l = float(lpips(sr, gt_t)[0])
+        if args.subdivision_lpips:
+            # 2x2 quadrant LPIPS averaged (test_bsrgan.py:233-268)
+            hh, ww = sr.shape[1] // 2, sr.shape[2] // 2
+            vals = []
+            for qy in (0, 1):
+                for qx in (0, 1):
+                    vals.append(
+                        float(
+                            lpips(
+                                sr[:, qy * hh : (qy + 1) * hh, qx * ww : (qx + 1) * ww],
+                                gt_t[:, qy * hh : (qy + 1) * hh, qx * ww : (qx + 1) * ww],
+                            )[0]
+                        )
+                    )
+            l = float(np.mean(vals))
+        else:
+            l = float(lpips(sr, gt_t)[0])
         psnrs.append(p)
         ssims.append(s)
         lpipses.append(l)
-        print(f"[{i + 1}/{len(gt_paths)}] {gt_path}  PSNR {p:.2f}  SSIM {s:.4f}  LPIPS {l:.4f}")
+        extra = ""
+        if niqe_model is not None:
+            from srganfd_tpu.metrics import niqe as niqe_mod
+
+            n_score = niqe_mod.niqe(np.asarray(sr)[0][..., ::-1] * 255.0, niqe_model)
+            niqes.append(n_score)
+            extra = f"  NIQE {n_score:.3f}"
+        print(f"[{i + 1}/{len(gt_paths)}] {gt_path}  PSNR {p:.2f}  SSIM {s:.4f}  LPIPS {l:.4f}{extra}")
         if args.save_images:
             tracker.log_image(np.asarray(sr)[0][:h0, :w0], f"sr_{i:04d}")
+        if d_model is not None:
+            if d_variables is None:
+                d_variables = d_model.init(jax.random.PRNGKey(0), gt_t)
+            d_out = d_model.apply(d_variables, gt_t)
+            sr_out = d_model.apply(d_variables, sr)
+            logits_gt, logits_sr = (
+                (d_out[0], sr_out[0]) if isinstance(d_out, tuple) else (d_out, sr_out)
+            )
+            if args.save_discriminator_eval and logits_gt.ndim == 4:
+                tracker.log_image(
+                    np.asarray(jax.nn.sigmoid(logits_gt))[0][:h0, :w0], f"d_gt_{i:04d}"
+                )
+                tracker.log_image(
+                    np.asarray(jax.nn.sigmoid(logits_sr))[0][:h0, :w0], f"d_sr_{i:04d}"
+                )
+            if args.save_attention_layers and isinstance(sr_out, tuple):
+                attn = sr_out[1]
+                maps = attn if isinstance(attn, tuple) else (attn,)
+                for j, m in enumerate(maps):
+                    arr = np.asarray(m)[0]
+                    if arr.ndim == 2:  # token attention: avg over queries
+                        side = int(np.sqrt(arr.shape[-1]))
+                        arr = arr.mean(axis=0).reshape(side, side)
+                    arr = (arr - arr.min()) / (arr.max() - arr.min() + 1e-8)
+                    tracker.log_image(np.squeeze(arr)[..., None].repeat(3, -1), f"attn{j}_{i:04d}")
 
     # clamped averages, matching test_bsrgan.py:276-309
     avg = {
@@ -102,6 +176,8 @@ def main() -> None:
         "SSIM": float(np.clip(np.mean(ssims), 0, 1)),
         "LPIPS": float(np.clip(np.mean(lpipses), 0, 1)),
     }
+    if niqes:
+        avg["NIQE"] = float(np.clip(np.mean(niqes), 0, 100))
     print(f"== PSNR: {avg['PSNR']:.2f} dB  SSIM: {avg['SSIM']:.4f}  LPIPS: {avg['LPIPS']:.4f}")
     tracker.log_dict(avg, "test_metrics")
     tracker.close()

@@ -157,6 +157,10 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--steps-per-epoch", type=int, default=None)
+    ap.add_argument("--compute-dtype", default=None, choices=["bfloat16", "float32"])
+    ap.add_argument(
+        "--tiny", action="store_true", help="shrink the model for smoke tests (8ch, 1 block)"
+    )
     args = ap.parse_args()
 
     overrides = {}
@@ -168,7 +172,13 @@ def main() -> None:
         overrides["epochs"] = args.epochs
     if args.batch_size is not None:
         overrides["batch_size"] = args.batch_size
+    if args.compute_dtype:
+        overrides["compute_dtype"] = args.compute_dtype
     cfg = configs.get_config(args.config, **overrides)
+    if args.tiny:
+        shrink = {"channels": 8, "growth_channels": 4}
+        count_key = "num_blocks" if cfg.g_arch.startswith("rrdbnet") else "num_rrdb"
+        cfg = cfg.replace(g_kwargs={**cfg.g_kwargs, **shrink, count_key: 1})
     run_train(cfg, steps_per_epoch=args.steps_per_epoch)
 
 

@@ -41,7 +41,13 @@ from srganfd_tpu.ops import filters, kernels
 from srganfd_tpu.ops.jpeg import diff_jpeg
 from srganfd_tpu.ops.resize import cv2_style_resize, imresize
 
-__all__ = ["BsrganPlan", "plan_bsrgan_batch", "apply_bsrgan_batch", "bsrgan_degradation"]
+__all__ = [
+    "BsrganPlan",
+    "plan_bsrgan_batch",
+    "apply_bsrgan_batch",
+    "bsrgan_degradation",
+    "bsrgan_degradation_plus",
+]
 
 _KPAD = 25  # max BSRGAN kernel size (2*11+3)
 
@@ -183,6 +189,111 @@ def bsrgan_degradation(
     """Convenience wrapper: plan + apply in one call."""
     plan = plan_bsrgan_batch(rng, images.shape[0], upscale_factor, **params)
     return apply_bsrgan_batch(images, plan)
+
+
+def bsrgan_degradation_plus(
+    images: jax.Array,
+    rng: np.random.Generator,
+    key: jax.Array,
+    upscale_factor: int,
+    use_sharp: bool = True,
+    shuffle_prob: float = 0.1,
+    poisson_prob: float = 0.1,
+    speckle_prob: float = 0.1,
+    **_unused,
+) -> jax.Array:
+    """``degradation_process_plus`` (``BSRGAN/imgproc.py:565-623``): USM
+    sharpen, 11-op chain — blur/resize/gauss/poisson/speckle/JPEG over two
+    rounds with local (or full, p=shuffle_prob) shuffling — then final
+    resize to 1/sf + JPEG.
+
+    Op order is sampled per batch (the reference samples per sample; the
+    chain is order-shuffled noise whose aggregate distribution this
+    preserves — same deviation as the base chain, documented above).
+    Resizes inside the chain use the reference's random scales snapped to
+    multiples of 8 so the program count stays bounded.
+    """
+    from srganfd_tpu.ops.realesrgan_degrade import usm_sharp  # local: avoid cycle
+
+    n, h, w, _ = images.shape
+    x = images.astype(jnp.float32)
+    if use_sharp:
+        x = usm_sharp(x)
+
+    if rng.random() < shuffle_prob:
+        order = list(rng.permutation(11))
+    else:
+        order = list(range(11))
+        order[2:5] = list(rng.permutation(order[2:5]))
+        order[7:11] = list(rng.permutation(order[7:11]))
+
+    def rand_kernels():
+        return jnp.asarray(
+            np.stack(
+                [
+                    kernels.pad_kernel(
+                        kernels.bsrgan_random_blur_kernel(rng, upscale_factor), _KPAD
+                    )
+                    for _ in range(n)
+                ]
+            ).astype(np.float32)
+        )
+
+    def rand_resize(img):
+        # _add_resize (BSRGAN/imgproc.py:314-328): up U(1,2) p=0.2,
+        # down U(0.5/sf,1) p=0.7, keep p=0.1; random cv2 interp.
+        r = rng.random()
+        if r > 0.8:
+            s = rng.uniform(1.0, 2.0)
+        elif r < 0.7:
+            s = rng.uniform(0.5 / upscale_factor, 1.0)
+        else:
+            return img
+        oh = max(16, int(round(s * img.shape[1] / 8.0)) * 8)
+        ow = max(16, int(round(s * img.shape[2] / 8.0)) * 8)
+        out = cv2_style_resize(img, (oh, ow), int(rng.choice([1, 2, 3])))
+        return jnp.clip(out, 0.0, 1.0)
+
+    for i in order:
+        key, sub = jax.random.split(key)
+        if i in (0, 6):
+            x = filters.filter2d(x, rand_kernels())
+        elif i in (1, 7):
+            x = rand_resize(x)
+        elif i in (2, 8):
+            sigma = jnp.asarray(
+                rng.integers(2, 26, size=n).astype(np.float32) / 255.0
+            )
+            gray = _gaussian_gray_mask(rng, n)
+            x = add_gaussian_noise(x, sub, sigma, gray)
+        elif i in (3, 9):
+            if rng.random() < poisson_prob:
+                scale = jnp.ones((n,), jnp.float32)
+                gray = jnp.asarray((rng.random(n) < 0.5).astype(np.float32))
+                x = add_poisson_noise(x, sub, scale, gray)
+        elif i in (4, 10):
+            if rng.random() < speckle_prob:
+                sigma = jnp.asarray(
+                    rng.integers(2, 26, size=n).astype(np.float32) / 255.0
+                )
+                gray = _gaussian_gray_mask(rng, n)
+                x = add_speckle_noise(x, sub, sigma, gray)
+        elif i == 5:
+            q = jnp.asarray(rng.integers(30, 96, size=n).astype(np.float32))
+            x = _masked_jpeg(x, q, None)
+
+    x = cv2_style_resize(
+        x, (h // upscale_factor, w // upscale_factor), int(rng.choice([1, 2, 3]))
+    )
+    q = jnp.asarray(rng.integers(30, 96, size=n).astype(np.float32))
+    return _masked_jpeg(jnp.clip(x, 0.0, 1.0), q, None)
+
+
+def _gaussian_gray_mask(rng: np.random.Generator, n: int) -> jax.Array:
+    """_add_gaussian_noise branch probabilities (``BSRGAN/imgproc.py:229-244``):
+    color p=0.4, gray p=0.4, correlated-color p=0.2 (approximated as color —
+    the 3x3-covariance branch needs per-sample host chol; see TODO)."""
+    return jnp.asarray((rng.random(n) < 0.4).astype(np.float32))
 
 
 # ---------------------------------------------------------------------------

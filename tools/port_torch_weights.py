@@ -1,0 +1,193 @@
+"""Convert reference PyTorch checkpoints to srganfd_tpu Flax params.
+
+Usage:
+    python tools/port_torch_weights.py --arch rrdbnet_x4 \
+        --pth RRDBNet_x4-DFO2K.pth.tar --out rrdbnet_x4.npz
+
+Supports the reference checkpoint formats (``ESRGAN/utils.py:85-101``
+``{"state_dict": ...}`` dicts or bare state dicts) for the RRDB-family
+generators (``rrdbnet_*``, ``bsrgan_*``, ``realesrgan_*``) and the U-Net
+discriminator. Conv kernels transpose OIHW -> HWIO; spectral-norm
+``weight_orig`` entries map to the SN conv kernels.
+
+Also provides ``vgg19_to_npz`` / ``lpips_to_npz`` converters for the
+perceptual-loss weights (run wherever torchvision/lpips are installed;
+the outputs feed SRGANFD_VGG19_NPZ / SRGANFD_LPIPS_NPZ).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def _oihw_to_hwio(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
+    import torch
+
+    payload = torch.load(path, map_location="cpu", weights_only=False)
+    sd = payload.get("state_dict", payload) if isinstance(payload, dict) else payload
+    out = {}
+    for k, v in sd.items():
+        k = k.removeprefix("module.")
+        out[k] = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+    return out
+
+
+def convert_rrdb_generator(sd: dict[str, np.ndarray], num_blocks: int = 23) -> dict:
+    """Reference RRDBNet/BSRGAN naming (conv1, trunk.{i}.rdb{j}.conv{k},
+    conv2, upsampling{1,2,3}.0, conv3.0, conv4) -> our auto-named Flax tree
+    (Conv_0, RRDB_{i}.ResidualDenseBlock_{j}.Conv_{k}, Conv_1, ...)."""
+    params: dict = {}
+
+    def put_conv(flax_name: str, torch_prefix: str, container: dict) -> None:
+        # our Conv wrapper nests an inner nn.Conv named Conv_0
+        container[flax_name] = {
+            "Conv_0": {
+                "kernel": _oihw_to_hwio(sd[f"{torch_prefix}.weight"]),
+                **(
+                    {"bias": sd[f"{torch_prefix}.bias"]}
+                    if f"{torch_prefix}.bias" in sd
+                    else {}
+                ),
+            }
+        }
+
+    put_conv("Conv_0", "conv1", params)
+    for i in range(num_blocks):
+        rrdb: dict = {}
+        for j in range(3):
+            rdb: dict = {}
+            for k in range(5):
+                put_conv(f"Conv_{k}", f"trunk.{i}.rdb{j + 1}.conv{k + 1}", rdb)
+            rrdb[f"ResidualDenseBlock_{j}"] = rdb
+        params[f"RRDB_{i}"] = rrdb
+    put_conv("Conv_1", "conv2", params)
+
+    conv_idx = 2
+    for up in ("upsampling1", "upsampling2", "upsampling3"):
+        if f"{up}.0.weight" in sd:
+            put_conv(f"Conv_{conv_idx}", f"{up}.0", params)
+            conv_idx += 1
+    if "conv3.0.weight" in sd:
+        put_conv(f"Conv_{conv_idx}", "conv3.0", params)
+    else:
+        put_conv(f"Conv_{conv_idx}", "conv3", params)
+    conv_idx += 1
+    put_conv(f"Conv_{conv_idx}", "conv4", params)
+    return params
+
+
+def convert_unet_discriminator(sd: dict[str, np.ndarray]) -> dict:
+    """Reference DiscriminatorUNet naming (conv1, down_block{1..3}.0,
+    up_block{1..3}.0, conv2.0, conv3.0, conv4; SN convs store
+    ``weight_orig``) -> our tree (Conv_0, SNConv_0..7, Conv_1)."""
+
+    def kernel_of(prefix: str) -> np.ndarray:
+        key = f"{prefix}.weight_orig" if f"{prefix}.weight_orig" in sd else f"{prefix}.weight"
+        return _oihw_to_hwio(sd[key])
+
+    params: dict = {
+        "Conv_0": {
+            "Conv_0": {
+                "kernel": _oihw_to_hwio(sd["conv1.weight"]),
+                "bias": sd["conv1.bias"],
+            }
+        }
+    }
+    sn_sources = [
+        "down_block1.0",
+        "down_block2.0",
+        "down_block3.0",
+        "up_block1.0",
+        "up_block2.0",
+        "up_block3.0",
+        "conv2.0",
+        "conv3.0",
+    ]
+    for i, src in enumerate(sn_sources):
+        params[f"SNConv_{i}"] = {"kernel": kernel_of(src)}
+    params["Conv_1"] = {
+        "Conv_0": {
+            "kernel": _oihw_to_hwio(sd["conv4.weight"]),
+            "bias": sd["conv4.bias"],
+        }
+    }
+    return params
+
+
+def flatten(tree: dict, prefix: str = "") -> dict[str, np.ndarray]:
+    flat = {}
+    for k, v in tree.items():
+        name = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            flat.update(flatten(v, name))
+        else:
+            flat[name] = np.asarray(v)
+    return flat
+
+
+def unflatten(flat: dict[str, np.ndarray]) -> dict:
+    tree: dict = {}
+    for k, v in flat.items():
+        parts = k.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def vgg19_to_npz(out_path: str) -> None:
+    """Run where torchvision exists: dumps IMAGENET1K_V1 VGG19 features."""
+    from torchvision.models import VGG19_Weights, vgg19
+
+    model = vgg19(weights=VGG19_Weights.IMAGENET1K_V1).features
+    arrays = {}
+    for i, layer in enumerate(model):
+        if hasattr(layer, "weight") and layer.weight is not None:
+            arrays[f"features.{i}.weight"] = layer.weight.detach().numpy()
+            arrays[f"features.{i}.bias"] = layer.bias.detach().numpy()
+    np.savez(out_path, **arrays)
+
+
+def lpips_to_npz(out_path: str) -> None:
+    """Run where the lpips pip package exists: dumps alex backbone + heads."""
+    import lpips as lpips_pkg
+
+    m = lpips_pkg.LPIPS(net="alex")
+    arrays = {}
+    convs = [l for l in m.net.modules() if l.__class__.__name__ == "Conv2d"]
+    for i, conv in enumerate(convs[:5]):
+        arrays[f"alex.{i}.weight"] = conv.weight.detach().numpy()
+        arrays[f"alex.{i}.bias"] = conv.bias.detach().numpy()
+    for i, lin in enumerate(m.lins):
+        arrays[f"lin.{i}.weight"] = lin.model[-1].weight.detach().numpy()
+    np.savez(out_path, **arrays)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--arch", required=True)
+    ap.add_argument("--pth", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--num-blocks", type=int, default=23)
+    args = ap.parse_args()
+
+    sd = load_torch_state_dict(args.pth)
+    if args.arch.startswith(("rrdbnet", "bsrgan", "realesrgan")):
+        params = convert_rrdb_generator(sd, args.num_blocks)
+    elif args.arch == "discriminator_unet":
+        params = convert_unet_discriminator(sd)
+    else:
+        raise SystemExit(f"no converter for arch {args.arch!r}")
+    np.savez(args.out, **flatten(params))
+    print(f"wrote {args.out} ({len(flatten(params))} arrays)")
+
+
+if __name__ == "__main__":
+    main()
