@@ -113,22 +113,93 @@ class SNConv(nn.Module):
 
 class ResidualDenseBlock(nn.Module):
     """5-conv dense block, LeakyReLU(0.2), 0.2-scaled residual
-    (ESRGAN/model.py:29-60)."""
+    (ESRGAN/model.py:29-60).
+
+    TPU execution layout: the reference applies conv_k to the concatenation
+    [x, out1..out_{k-1}] with only 32 output channels — a poor fit for the
+    128-wide MXU and extra HBM traffic for every concat. Since convolution
+    is linear in its input, we regroup by *source*: one conv carries each
+    source's contributions to ALL later layers (x -> 192ch, out1 -> 160ch,
+    out2 -> 128ch, out3 -> 96ch, out4 -> 64ch), and each out_k is the sum
+    of its slices. Numerically identical (same parameters, checkpoint-
+    compatible: params remain the 5 reference-shaped convs; kernels are
+    re-sliced at trace time), MXU-shaped matmuls throughout, no
+    concatenated activations ever materialize. Set ``fused=False`` for the
+    literal reference dataflow.
+    """
 
     channels: int
     growth_channels: int
     dtype: Any = jnp.float32
+    fused: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        def c(features):
-            return Conv(features, scaled_init=True, dtype=self.dtype)
+        ch, gc = self.channels, self.growth_channels
+        # reference-shaped parameters: conv_k maps ch + k*gc -> gc (k<4), ch (k=4)
+        kernels = []
+        biases = []
+        for k in range(5):
+            cin = ch + gc * k
+            cout = gc if k < 4 else ch
+            kernels.append(
+                self.param(f"conv{k}_kernel", kaiming_x01, (3, 3, cin, cout), jnp.float32)
+            )
+            biases.append(self.param(f"conv{k}_bias", nn.initializers.zeros, (cout,), jnp.float32))
 
-        out1 = lrelu(c(self.growth_channels)(x))
-        out2 = lrelu(c(self.growth_channels)(jnp.concatenate([x, out1], -1)))
-        out3 = lrelu(c(self.growth_channels)(jnp.concatenate([x, out1, out2], -1)))
-        out4 = lrelu(c(self.growth_channels)(jnp.concatenate([x, out1, out2, out3], -1)))
-        out5 = c(self.channels)(jnp.concatenate([x, out1, out2, out3, out4], -1))
+        def conv(inp, kern):
+            return jax.lax.conv_general_dilated(
+                inp.astype(self.dtype),
+                kern.astype(self.dtype),
+                window_strides=(1, 1),
+                padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        if not self.fused:
+            outs = [x]
+            for k in range(5):
+                inp = jnp.concatenate(outs, -1) if k else x
+                y = conv(inp, kernels[k]) + biases[k].astype(self.dtype)
+                outs.append(lrelu(y) if k < 4 else y)
+            return outs[-1] * 0.2 + x
+
+        # source s occupies input-channel rows [off_s, off_s + width_s) of
+        # every later conv's kernel; group them into one wide conv per source.
+        offsets = [0, ch, ch + gc, ch + 2 * gc, ch + 3 * gc]
+        widths = [ch, gc, gc, gc, gc]
+        splits = [gc, gc, gc, gc, ch]  # output widths of conv0..conv4
+
+        def contributions(source_idx: int, inp: jax.Array) -> list[jax.Array | None]:
+            """conv of ``inp`` against the stacked kernels of conv_k for all
+            k > source_idx - 1 (source 0 = x feeds conv0..4; source s = out_s
+            feeds conv_s..4), split back per target conv."""
+            first = source_idx  # x feeds conv0+, out_s feeds conv_s+ (s>=1)
+            parts = [
+                jax.lax.dynamic_slice_in_dim(
+                    kernels[k], offsets[source_idx], widths[source_idx], axis=2
+                )
+                for k in range(first, 5)
+            ]
+            wide = jnp.concatenate(parts, axis=3)
+            y = conv(inp, wide)
+            out: list[jax.Array | None] = [None] * 5
+            start = 0
+            for k in range(first, 5):
+                out[k] = y[..., start : start + splits[k]]
+                start += splits[k]
+            return out
+
+        acc = contributions(0, x)
+        outs = []
+        for k in range(4):
+            y = acc[k] + biases[k].astype(self.dtype)
+            out_k = lrelu(y)
+            outs.append(out_k)
+            contrib = contributions(k + 1, out_k)
+            for t in range(k + 1, 5):
+                acc[t] = acc[t] + contrib[t]
+        out5 = acc[4] + biases[4].astype(self.dtype)
         return out5 * 0.2 + x
 
 

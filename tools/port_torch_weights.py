@@ -61,9 +61,14 @@ def convert_rrdb_generator(sd: dict[str, np.ndarray], num_blocks: int = 23) -> d
     for i in range(num_blocks):
         rrdb: dict = {}
         for j in range(3):
+            # RDB stores flat reference-shaped conv params (see
+            # srganfd_tpu.models.blocks.ResidualDenseBlock fused layout)
             rdb: dict = {}
             for k in range(5):
-                put_conv(f"Conv_{k}", f"trunk.{i}.rdb{j + 1}.conv{k + 1}", rdb)
+                rdb[f"conv{k}_kernel"] = _oihw_to_hwio(
+                    sd[f"trunk.{i}.rdb{j + 1}.conv{k + 1}.weight"]
+                )
+                rdb[f"conv{k}_bias"] = sd[f"trunk.{i}.rdb{j + 1}.conv{k + 1}.bias"]
             rrdb[f"ResidualDenseBlock_{j}"] = rdb
         params[f"RRDB_{i}"] = rrdb
     put_conv("Conv_1", "conv2", params)
