@@ -40,6 +40,8 @@ def main() -> None:
     ap.add_argument("--output-path", "--output_path", dest="output", required=True)
     ap.add_argument("--weights", "--model_weights_path", dest="weights", default="")
     ap.add_argument("--device-type", "--device_type", dest="device", default="tpu", choices=["cpu", "tpu"])
+    ap.add_argument("--tile", type=int, default=0, help="tile size for large-image tiled SR (0 = whole image)")
+    ap.add_argument("--tile-overlap", type=int, default=16)
     args = ap.parse_args()
 
     choice_device(args.device)
@@ -55,7 +57,16 @@ def main() -> None:
         print("! no --weights given: using randomly initialized parameters")
         params = model.init(jax.random.PRNGKey(0), x)["params"]
 
-    sr = np.asarray(jax.jit(lambda p, z: model.apply({"params": p}, z))(params, x))[0]
+    apply_fn = jax.jit(lambda p, z: model.apply({"params": p}, z))
+    if args.tile:
+        from srganfd_tpu.parallel.tiled_inference import tiled_sr
+
+        upscale = apply_fn(params, jnp.zeros((1, 8, 8, 3))).shape[1] // 8
+        sr = tiled_sr(
+            apply_fn, params, img, upscale, tile=args.tile, overlap=args.tile_overlap
+        )
+    else:
+        sr = np.asarray(apply_fn(params, x))[0]
     sr8 = np.clip(sr * 255.0, 0, 255).astype(np.uint8)
 
     import cv2

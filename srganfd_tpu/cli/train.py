@@ -74,7 +74,13 @@ def validate(cfg, trainer, params, valid_loader, adapter, max_batches: int = 16)
     return float(np.mean(psnrs)) if psnrs else 0.0, float(np.mean(ssims)) if ssims else 0.0
 
 
-def run_train(cfg, steps_per_epoch: int | None = None, use_mesh: bool = True) -> dict:
+def run_train(
+    cfg,
+    steps_per_epoch: int | None = None,
+    use_mesh: bool = True,
+    resume: str = "",
+    profile_dir: str = "",
+) -> dict:
     mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes) if use_mesh else None
     train_ds, valid_ds = build_datasets(cfg)
     spe = steps_per_epoch or cfg.steps_per_epoch or max(1, len(train_ds) // cfg.batch_size)
@@ -92,6 +98,15 @@ def run_train(cfg, steps_per_epoch: int | None = None, use_mesh: bool = True) ->
         (cfg.batch_size, lr_size, lr_size, 3),
         (cfg.batch_size, cfg.gt_image_size, cfg.gt_image_size, 3),
     )
+    start_epoch = 0
+    if resume:
+        # full-state resume: params/EMA/optimizer/step/epoch/best metrics
+        # (reference load_mode="resume", ESRGAN/utils.py:41-67)
+        payload = ckpt.load_checkpoint(resume, template=state)
+        state = jax.tree_util.tree_map(jnp.asarray, payload["state"])
+        start_epoch = int(payload["epoch"]) + 1
+        print(f"resumed from {resume} at epoch {start_epoch}")
+
     needs_pixel_target = cfg.degradation == "realesrgan"
     step_fn = trainer.make_train_step(separate_pixel_target=needs_pixel_target)
 
@@ -105,8 +120,10 @@ def run_train(cfg, steps_per_epoch: int | None = None, use_mesh: bool = True) ->
     g_loss_m = AverageMeter("G loss", ":6.4f")
 
     it = iter(train_loader)
-    global_step = 0
-    for epoch in range(cfg.epochs):
+    global_step = start_epoch * spe
+    for epoch in range(start_epoch, cfg.epochs):
+        if profile_dir and epoch == start_epoch:
+            jax.profiler.start_trace(profile_dir)
         progress = ProgressMeter(spe, [batch_time, data_time, g_loss_m], prefix=f"Epoch[{epoch}]")
         end = time.time()
         for i in range(spe):
@@ -127,6 +144,10 @@ def run_train(cfg, steps_per_epoch: int | None = None, use_mesh: bool = True) ->
                     {f"Train/{k}": float(v) for k, v in metrics.items()}, global_step
                 )
             global_step += 1
+        if profile_dir and epoch == start_epoch:
+            jax.block_until_ready(jax.tree_util.tree_leaves(state.g_params)[0])
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {profile_dir}")
 
         valid_loader = BatchLoader(
             valid_ds, min(cfg.batch_size, len(valid_ds)), shuffle=False, loop=False,
@@ -158,6 +179,8 @@ def main() -> None:
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--steps-per-epoch", type=int, default=None)
     ap.add_argument("--compute-dtype", default=None, choices=["bfloat16", "float32"])
+    ap.add_argument("--resume", default="", help="checkpoint dir to resume full state from")
+    ap.add_argument("--profile-dir", default="", help="capture a jax.profiler trace of epoch 0")
     ap.add_argument(
         "--tiny", action="store_true", help="shrink the model for smoke tests (8ch, 1 block)"
     )
@@ -179,7 +202,12 @@ def main() -> None:
         shrink = {"channels": 8, "growth_channels": 4}
         count_key = "num_blocks" if cfg.g_arch.startswith("rrdbnet") else "num_rrdb"
         cfg = cfg.replace(g_kwargs={**cfg.g_kwargs, **shrink, count_key: 1})
-    run_train(cfg, steps_per_epoch=args.steps_per_epoch)
+    run_train(
+        cfg,
+        steps_per_epoch=args.steps_per_epoch,
+        resume=args.resume,
+        profile_dir=args.profile_dir,
+    )
 
 
 if __name__ == "__main__":

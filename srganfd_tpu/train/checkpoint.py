@@ -10,6 +10,7 @@ checkpointer; "best"/"last" are directory names like the reference's
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any
 
@@ -35,11 +36,7 @@ def save_checkpoint(
     """Write ``<dir>/<name>_last`` (always) and ``<dir>/<name>_best``
     (when ``is_best``), each a full training-state snapshot."""
     os.makedirs(directory, exist_ok=True)
-    payload = {
-        "state": _to_host(state),
-        "epoch": np.asarray(epoch),
-        "best_metrics": {k: np.asarray(v) for k, v in best_metrics.items()},
-    }
+    payload = {"state": _to_host(state)}
     ckptr = ocp.StandardCheckpointer()
     targets = [os.path.join(directory, f"{name}_last")]
     if is_best:
@@ -47,6 +44,12 @@ def save_checkpoint(
     for t in targets:
         ckptr.save(os.path.abspath(t), payload, force=True)
     ckptr.wait_until_finished()
+    # scalar metadata rides a JSON sidecar: keeps the orbax tree identical
+    # to the state template regardless of which metrics a config tracks
+    meta = {"epoch": int(epoch), "best_metrics": {k: float(v) for k, v in best_metrics.items()}}
+    for t in targets:
+        with open(t + ".meta.json", "w") as f:
+            json.dump(meta, f)
 
 
 def load_checkpoint(path: str, template: Any | None = None) -> dict[str, Any]:
@@ -55,13 +58,16 @@ def load_checkpoint(path: str, template: Any | None = None) -> dict[str, Any]:
     the reference's ``load_state_dict`` are handled by ``restore_into``)."""
     ckptr = ocp.StandardCheckpointer()
     if template is not None:
-        target = {
-            "state": _to_host(template),
-            "epoch": np.asarray(0),
-            "best_metrics": {"psnr": np.asarray(0.0), "ssim": np.asarray(0.0)},
-        }
-        return ckptr.restore(os.path.abspath(path), target)
-    return ckptr.restore(os.path.abspath(path))
+        payload = ckptr.restore(os.path.abspath(path), {"state": _to_host(template)})
+    else:
+        payload = ckptr.restore(os.path.abspath(path))
+    meta_path = os.path.abspath(path) + ".meta.json"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            payload = dict(payload, **json.load(f))
+    else:
+        payload = dict(payload, epoch=0, best_metrics={})
+    return payload
 
 
 def restore_into(current: Any, loaded: Any) -> Any:
