@@ -56,11 +56,11 @@ def build_datasets(cfg):
     return train_ds, valid_ds
 
 
-def validate(cfg, trainer, params, valid_loader, adapter, max_batches: int = 16):
-    """Per-epoch validation: SR the degraded valid crops, Y-channel
-    PSNR/SSIM with crop_border = upscale_factor
-    (``BSRGAN/train_bsrgan.py:515-607`` surface)."""
-    psnrs, ssims = [], []
+def validate(cfg, trainer, params, valid_loader, adapter, lpips_fn=None, max_batches: int = 16):
+    """Per-epoch validation: SR the degraded valid crops; Y-channel
+    PSNR/SSIM with crop_border = upscale_factor, plus LPIPS when a metric
+    fn is given (``BSRGAN/train_bsrgan.py:515-607`` surface)."""
+    psnrs, ssims, lpipses = [], [], []
     for i, host_batch in enumerate(valid_loader):
         if i >= max_batches:
             break
@@ -71,7 +71,13 @@ def validate(cfg, trainer, params, valid_loader, adapter, max_batches: int = 16)
             continue
         psnrs.extend(np.asarray(psnr_tensor(sr, gt, cfg.upscale_factor, cfg.only_test_y_channel)))
         ssims.extend(np.asarray(ssim_tensor(sr, gt, cfg.upscale_factor, cfg.only_test_y_channel)))
-    return float(np.mean(psnrs)) if psnrs else 0.0, float(np.mean(ssims)) if ssims else 0.0
+        if lpips_fn is not None:
+            lpipses.extend(np.asarray(lpips_fn(sr, gt)))
+    return {
+        "psnr": float(np.mean(psnrs)) if psnrs else 0.0,
+        "ssim": float(np.mean(ssims)) if ssims else 0.0,
+        "lpips": float(np.mean(lpipses)) if lpipses else float("inf"),
+    }
 
 
 def run_train(
@@ -114,6 +120,15 @@ def run_train(
                       samples_dir=cfg.samples_dir)
     tracker.log_params({k: v for k, v in vars(cfg).items() if not k.startswith("_")})
 
+    lpips_fn = None
+    if cfg.optimizing_metric == "LPIPS" or cfg.is_gan:
+        from srganfd_tpu.losses.lpips import Lpips
+
+        lpips_metric = Lpips()
+        if not lpips_metric.pretrained:
+            print("! LPIPS weights unavailable: validation LPIPS is the deterministic surrogate")
+        lpips_fn = jax.jit(lpips_metric.__call__)
+
     best = {"psnr": -1.0, "ssim": -1.0, "lpips": float("inf")}
     batch_time = AverageMeter("Time", ":6.3f")
     data_time = AverageMeter("Data", ":6.3f")
@@ -153,16 +168,31 @@ def run_train(
             valid_ds, min(cfg.batch_size, len(valid_ds)), shuffle=False, loop=False,
             seed=cfg.seed, drop_last=True, num_workers=cfg.num_workers,
         )
-        psnr, ssim = validate(cfg, trainer, state.ema_g_params, valid_loader, valid_adapter)
-        tracker.log_metrics({"Valid/PSNR": psnr, "Valid/SSIM": ssim, "epoch": epoch}, global_step)
-        print(f"[epoch {epoch}] valid PSNR {psnr:.3f} dB  SSIM {ssim:.4f}", flush=True)
+        vm = validate(
+            cfg, trainer, state.ema_g_params, valid_loader, valid_adapter, lpips_fn=lpips_fn
+        )
+        psnr, ssim = vm["psnr"], vm["ssim"]
+        epoch_metrics = {"Valid/PSNR": psnr, "Valid/SSIM": ssim, "epoch": epoch}
+        lpips_str = ""
+        if lpips_fn is not None and np.isfinite(vm["lpips"]):
+            epoch_metrics["Valid/LPIPS"] = vm["lpips"]
+            lpips_str = f"  LPIPS {vm['lpips']:.4f}"
+        tracker.log_metrics(epoch_metrics, global_step)
+        print(f"[epoch {epoch}] valid PSNR {psnr:.3f} dB  SSIM {ssim:.4f}{lpips_str}", flush=True)
 
-        if cfg.optimizing_metric == "PSNR":
-            is_best = psnr > best["psnr"]
-        else:  # LPIPS / D-prob selection wired when those metrics are tracked
+        # best-model selection on the configured metric
+        # (BSRGAN/train_bsrgan.py:184-214: LPIPS | PSNR | D SR prob)
+        if cfg.optimizing_metric == "LPIPS" and lpips_fn is not None:
+            is_best = vm["lpips"] < best["lpips"]
+        elif cfg.optimizing_metric == "Discriminator SR Prob":
+            d_prob = float(metrics.get("d_sr_probability", 0.0))
+            is_best = d_prob > best.get("d_sr_prob", -1.0)
+            best["d_sr_prob"] = max(best.get("d_sr_prob", -1.0), d_prob)
+        else:
             is_best = psnr > best["psnr"]
         best["psnr"] = max(best["psnr"], psnr)
         best["ssim"] = max(best["ssim"], ssim)
+        best["lpips"] = min(best["lpips"], vm["lpips"])
         ckpt.save_checkpoint(
             f"{cfg.results_dir}/{cfg.exp_name or cfg.name}", state, epoch, best, is_best
         )
