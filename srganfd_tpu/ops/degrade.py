@@ -264,8 +264,13 @@ def bsrgan_degradation_plus(
             sigma = jnp.asarray(
                 rng.integers(2, 26, size=n).astype(np.float32) / 255.0
             )
-            gray = _gaussian_gray_mask(rng, n)
-            x = add_gaussian_noise(x, sub, sigma, gray)
+            # branch probs (BSRGAN/imgproc.py:229-244): color 0.4 / gray 0.4
+            # / channel-correlated 0.2
+            r = rng.random(n)
+            gray = jnp.asarray((r < 0.4).astype(np.float32))
+            corr_mask = jnp.asarray((r > 0.8).astype(np.float32))
+            chol = jnp.asarray(sample_correlated_noise_chol(rng, n))
+            x = add_gaussian_noise(x, sub, sigma, gray, chol, corr_mask)
         elif i in (3, 9):
             if rng.random() < poisson_prob:
                 scale = jnp.ones((n,), jnp.float32)
@@ -290,9 +295,8 @@ def bsrgan_degradation_plus(
 
 
 def _gaussian_gray_mask(rng: np.random.Generator, n: int) -> jax.Array:
-    """_add_gaussian_noise branch probabilities (``BSRGAN/imgproc.py:229-244``):
-    color p=0.4, gray p=0.4, correlated-color p=0.2 (approximated as color —
-    the 3x3-covariance branch needs per-sample host chol; see TODO)."""
+    """Speckle-noise branch probabilities (``BSRGAN/imgproc.py:263-270``):
+    gray p=0.4, (correlated-)color otherwise."""
     return jnp.asarray((rng.random(n) < 0.4).astype(np.float32))
 
 
@@ -303,16 +307,54 @@ def _gaussian_gray_mask(rng: np.random.Generator, n: int) -> jax.Array:
 
 
 def add_gaussian_noise(
-    x: jax.Array, key: jax.Array, sigma: jax.Array, gray_mask: jax.Array
+    x: jax.Array,
+    key: jax.Array,
+    sigma: jax.Array,
+    gray_mask: jax.Array,
+    corr_chol: jax.Array | None = None,
+    corr_mask: jax.Array | None = None,
 ) -> jax.Array:
     """Per-sample Gaussian noise; ``sigma`` (N,) in [0,1] units,
-    ``gray_mask`` (N,) 1.0 => single-channel noise broadcast over RGB."""
+    ``gray_mask`` (N,) 1.0 => single-channel noise broadcast over RGB.
+
+    ``corr_chol`` (N,3,3) + ``corr_mask`` (N,): the reference's third
+    branch (``BSRGAN/imgproc.py:235-240``) draws channel-correlated noise
+    N(0, L^2 |U^T D U|); the host samples that covariance's Cholesky
+    factor per image and the device applies it (sigma is ignored for
+    correlated samples, as in the reference)."""
     n, h, w, c = x.shape
     k1, k2 = jax.random.split(key)
     color = jax.random.normal(k1, (n, h, w, c), x.dtype)
     gray = jax.random.normal(k2, (n, h, w, 1), x.dtype)
     noise = jnp.where(gray_mask[:, None, None, None] > 0.5, gray, color)
-    return jnp.clip(x + noise * sigma[:, None, None, None], 0.0, 1.0)
+    noise = noise * sigma[:, None, None, None]
+    if corr_chol is not None and corr_mask is not None:
+        corr = jnp.einsum("nhwc,ndc->nhwd", color, corr_chol.astype(x.dtype))
+        noise = jnp.where(corr_mask[:, None, None, None] > 0.5, corr, noise)
+    return jnp.clip(x + noise, 0.0, 1.0)
+
+
+def sample_correlated_noise_chol(
+    rng: np.random.Generator, batch_size: int, noise_level2: int = 25
+) -> np.ndarray:
+    """Host sampler for the correlated-color covariance
+    (``BSRGAN/imgproc.py:235-240``): cov = |L^2 U^T D U| with D random
+    diagonal and U a random orthogonal matrix; returns Cholesky factors
+    (N, 3, 3)."""
+    import scipy.linalg
+
+    L = noise_level2 / 255.0
+    out = np.zeros((batch_size, 3, 3), np.float32)
+    for i in range(batch_size):
+        d = np.diag(rng.random(3))
+        u = scipy.linalg.orth(rng.random((3, 3)))
+        cov = np.abs(L**2 * (u.T @ d @ u))
+        # |.| can break positive-definiteness; factor via clipped
+        # eigendecomposition (numpy's multivariate_normal is similarly
+        # SVD-tolerant of the reference's non-PSD covariances)
+        vals, vecs = np.linalg.eigh(cov)
+        out[i] = (vecs * np.sqrt(np.clip(vals, 0.0, None))).astype(np.float32)
+    return out
 
 
 def add_poisson_noise(
