@@ -71,6 +71,7 @@ def main() -> None:
     cfg = get_config("bsrgan").replace(
         upscale_factor=UPSCALE,
         g_arch="bsrgan_x4",
+        g_kwargs={"scan_blocks": True},  # one compiled RRDB body instead of 23
         gt_image_size=GT_SIZE,
         batch_size=BATCH,
         content_weight=(),  # VGG19 weights unavailable in this image; the

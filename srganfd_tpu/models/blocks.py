@@ -219,6 +219,83 @@ class RRDB(nn.Module):
         return out * 0.2 + x
 
 
+class _ScanBody(nn.Module):
+    """One RRDB step in (carry, xs) form for nn.scan."""
+
+    channels: int
+    growth_channels: int
+    dtype: Any
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, carry, _):
+        block_cls = nn.remat(RRDB) if self.remat else RRDB
+        out = block_cls(self.channels, self.growth_channels, self.dtype, name="RRDB_0")(carry)
+        return out, None
+
+
+def run_trunk(
+    x: jax.Array,
+    channels: int,
+    growth_channels: int,
+    num_blocks: int,
+    dtype: Any,
+    scan_blocks: bool = False,
+    remat: bool = False,
+) -> jax.Array:
+    """The RRDB trunk, called inside a parent module's compact ``__call__``.
+
+    - unrolled (default): params register as ``RRDB_{i}`` on the parent —
+      checkpoint-compatible with ported reference weights;
+    - ``scan_blocks=True``: one ``nn.scan`` over stacked params under
+      ``ScanRRDB`` — compiles the block body once instead of N times
+      (order-of-magnitude compile-time cut for the 23-block trunks) with
+      identical numerics. ``stack_trunk_params``/``unstack_trunk_params``
+      convert checkpoints between layouts. ``remat=True`` additionally
+      rematerializes each block on the backward pass (activation memory
+      ~N times smaller on the trunk).
+    """
+    if not scan_blocks:
+        block_cls = nn.remat(RRDB) if remat else RRDB
+        for i in range(num_blocks):
+            # explicit names keep the param tree identical with/without remat
+            x = block_cls(channels, growth_channels, dtype, name=f"RRDB_{i}")(x)
+        return x
+    scan = nn.scan(
+        _ScanBody,
+        variable_axes={"params": 0},
+        split_rngs={"params": True},
+        length=num_blocks,
+    )
+    out, _ = scan(channels, growth_channels, dtype, remat, name="ScanRRDB")(x, None)
+    return out
+
+
+def stack_trunk_params(params: dict, num_blocks: int) -> dict:
+    """Convert unrolled trunk params (RRDB_0..RRDB_{n-1}) to the scanned
+    layout (ScanRRDB with a leading block axis)."""
+    import numpy as np
+
+    blocks = [params[f"RRDB_{i}"] for i in range(num_blocks)]
+    stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *blocks)
+    out = {k: v for k, v in params.items() if not k.startswith("RRDB_")}
+    out["ScanRRDB"] = {"RRDB_0": stacked}
+    return out
+
+
+def unstack_trunk_params(params: dict, num_blocks: int) -> dict:
+    """Inverse of :func:`stack_trunk_params`."""
+    import numpy as np
+
+    key = next(k for k in params if k.startswith("ScanRRDB"))
+    stacked = params[key]
+    inner = next(iter(stacked.values())) if isinstance(stacked, dict) else stacked
+    out = {k: v for k, v in params.items() if not k.startswith("ScanRRDB")}
+    for i in range(num_blocks):
+        out[f"RRDB_{i}"] = jax.tree_util.tree_map(lambda x: np.asarray(x)[i], inner)
+    return out
+
+
 def pixel_unshuffle(x: jax.Array, factor: int) -> jax.Array:
     """NHWC pixel-unshuffle matching torch ``nn.PixelUnshuffle``: output
     channel order is (c, fh, fw)."""

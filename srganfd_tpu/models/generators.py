@@ -30,6 +30,7 @@ from srganfd_tpu.models.blocks import (
     TransformerEncoderLayer,
     lrelu,
     pixel_unshuffle,
+    run_trunk,
 )
 from srganfd_tpu.models.registry import register
 from srganfd_tpu.ops.resize import upsample_nearest
@@ -55,15 +56,16 @@ class RRDBNet(nn.Module):
     num_blocks: int = 23
     upscale_factor: int = 4
     dtype: Any = jnp.float32
+    scan_blocks: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         x = x.astype(self.dtype)
         conv = lambda f: Conv(f, scaled_init=True, dtype=self.dtype)
         out1 = conv(self.channels)(x)
-        out = out1
-        for _ in range(self.num_blocks):
-            out = RRDB(self.channels, self.growth_channels, self.dtype)(out)
+        out = run_trunk(out1, self.channels, self.growth_channels, self.num_blocks,
+                        self.dtype, self.scan_blocks, self.remat)
         out = out1 + conv(self.channels)(out)
         for _ in range(int(math.log2(self.upscale_factor)) if self.upscale_factor > 1 else 0):
             out = lrelu(conv(self.channels)(upsample_nearest(out, 2)))
@@ -83,15 +85,16 @@ class BSRGAN(nn.Module):
     num_rrdb: int = 23
     upscale_factor: int = 4
     dtype: Any = jnp.float32
+    scan_blocks: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         x = x.astype(self.dtype)
         conv = lambda f: Conv(f, scaled_init=True, dtype=self.dtype)
         out1 = conv(self.channels)(x)
-        out = out1
-        for _ in range(self.num_rrdb):
-            out = RRDB(self.channels, self.growth_channels, self.dtype)(out)
+        out = run_trunk(out1, self.channels, self.growth_channels, self.num_rrdb,
+                        self.dtype, self.scan_blocks, self.remat)
         out = out1 + conv(self.channels)(out)
         out = lrelu(conv(self.channels)(upsample_nearest(out, 2)))
         if self.upscale_factor == 4:
@@ -115,15 +118,16 @@ class BSRGANtrans(nn.Module):
     num_rrdb: int = 23
     upscale_factor: int = 4
     dtype: Any = jnp.float32
+    scan_blocks: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         x = x.astype(self.dtype)
         conv = lambda f: Conv(f, scaled_init=True, dtype=self.dtype)
         out1 = conv(self.channels)(x)
-        out = out1
-        for _ in range(self.num_rrdb):
-            out = RRDB(self.channels, self.growth_channels, self.dtype)(out)
+        out = run_trunk(out1, self.channels, self.growth_channels, self.num_rrdb,
+                        self.dtype, self.scan_blocks, self.remat)
 
         out = lrelu(Conv(self.channels, stride=2, scaled_init=True, dtype=self.dtype)(out))
         n, h2, w2, c = out.shape
@@ -154,6 +158,8 @@ class RealESRGANNet(nn.Module):
     num_rrdb: int = 23
     upscale_factor: int = 4
     dtype: Any = jnp.float32
+    scan_blocks: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -164,9 +170,8 @@ class RealESRGANNet(nn.Module):
             x = pixel_unshuffle(x, 4)
         conv = lambda f: Conv(f, scaled_init=True, dtype=self.dtype)
         out1 = conv(self.channels)(x)
-        out = out1
-        for _ in range(self.num_rrdb):
-            out = RRDB(self.channels, self.growth_channels, self.dtype)(out)
+        out = run_trunk(out1, self.channels, self.growth_channels, self.num_rrdb,
+                        self.dtype, self.scan_blocks, self.remat)
         out = out1 + conv(self.channels)(out)
         out = lrelu(conv(self.channels)(upsample_nearest(out, 2)))
         out = lrelu(conv(self.channels)(upsample_nearest(out, 2)))
