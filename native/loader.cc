@@ -1,0 +1,275 @@
+// Native data loader: multi-threaded JPEG/PNG decode + random crop +
+// flip/rot90 augmentation producing float32 RGB [0,1] batches.
+//
+// The TPU-native runtime counterpart of the reference's DataLoader worker
+// processes (ESRGAN/train_esrgan.py:215-229): a C++ thread pool with a
+// bounded batch queue keeps host decode off the Python interpreter
+// entirely; Python consumes batches over a minimal ctypes C API
+// (srganfd_tpu/data/native_loader.py).
+//
+// Build: native/build.sh (g++ -O3 -shared -fPIC, links libjpeg + libpng).
+
+#include <cstddef>
+#include <cstdio>
+
+#include <jpeglib.h>
+#include <png.h>
+
+#include <algorithm>
+#include <atomic>
+#include <condition_variable>
+#include <csetjmp>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <mutex>
+#include <queue>
+#include <random>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Image {
+  int h = 0, w = 0;
+  std::vector<uint8_t> rgb;  // h*w*3
+};
+
+// ---------------------------------------------------------------- decode
+
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jump;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  auto* err = reinterpret_cast<JpegErr*>(cinfo->err);
+  longjmp(err->jump, 1);
+}
+
+bool decode_jpeg(FILE* f, Image* out) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  out->w = cinfo.output_width;
+  out->h = cinfo.output_height;
+  out->rgb.resize(size_t(out->h) * out->w * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = out->rgb.data() + size_t(cinfo.output_scanline) * out->w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
+bool decode_png(const char* path, Image* out) {
+  png_image image;
+  std::memset(&image, 0, sizeof(image));
+  image.version = PNG_IMAGE_VERSION;
+  if (!png_image_begin_read_from_file(&image, path)) return false;
+  image.format = PNG_FORMAT_RGB;
+  out->w = image.width;
+  out->h = image.height;
+  out->rgb.resize(PNG_IMAGE_SIZE(image));
+  if (!png_image_finish_read(&image, nullptr, out->rgb.data(), 0, nullptr)) {
+    png_image_free(&image);
+    return false;
+  }
+  return true;
+}
+
+bool decode_file(const std::string& path, Image* out) {
+  FILE* f = std::fopen(path.c_str(), "rb");
+  if (!f) return false;
+  uint8_t magic[8] = {0};
+  size_t n = std::fread(magic, 1, 8, f);
+  bool ok = false;
+  if (n >= 3 && magic[0] == 0xFF && magic[1] == 0xD8) {
+    std::rewind(f);
+    ok = decode_jpeg(f, out);
+    std::fclose(f);
+  } else {
+    std::fclose(f);
+    if (n >= 8 && png_sig_cmp(magic, 0, 8) == 0) ok = decode_png(path.c_str(), out);
+  }
+  return ok && out->h > 0 && out->w > 0;
+}
+
+// ------------------------------------------------------------- transform
+
+// Random square crop + optional rot90/flips into float32 [0,1] CHW-last
+// (H, W, 3), mirroring imgproc random_crop/random_rotate/flips
+// (ESRGAN/imgproc.py:465-575 semantics).
+void crop_augment(const Image& img, int crop, bool train, std::mt19937& rng,
+                  float* dst) {
+  // reflect-extend on the fly if the image is smaller than the crop
+  auto reflect = [](int v, int n) {
+    if (n == 1) return 0;
+    int period = 2 * n - 2;
+    v = v % period;
+    if (v < 0) v += period;
+    return v < n ? v : period - v;
+  };
+  int max_top = img.h - crop, max_left = img.w - crop;
+  int top, left;
+  if (train) {
+    std::uniform_int_distribution<int> dt(0, max_top > 0 ? max_top : 0);
+    std::uniform_int_distribution<int> dl(0, max_left > 0 ? max_left : 0);
+    top = dt(rng);
+    left = dl(rng);
+  } else {
+    top = max_top > 0 ? max_top / 2 : 0;
+    left = max_left > 0 ? max_left / 2 : 0;
+  }
+  int k = 0;
+  bool hflip = false, vflip = false;
+  if (train) {
+    std::uniform_int_distribution<int> d4(0, 3);
+    std::bernoulli_distribution d2(0.5);
+    k = d4(rng);
+    hflip = d2(rng);
+    vflip = d2(rng);
+  }
+  const float inv = 1.0f / 255.0f;
+  for (int y = 0; y < crop; ++y) {
+    for (int x = 0; x < crop; ++x) {
+      // inverse-map destination (y, x) through rot90^k + flips
+      int sy = y, sx = x;
+      if (vflip) sy = crop - 1 - sy;
+      if (hflip) sx = crop - 1 - sx;
+      for (int r = 0; r < k; ++r) {  // inverse of ccw rot90: rotate cw
+        int t = sy;
+        sy = sx;
+        sx = crop - 1 - t;
+      }
+      int iy = reflect(top + sy, img.h);
+      int ix = reflect(left + sx, img.w);
+      const uint8_t* p = img.rgb.data() + (size_t(iy) * img.w + ix) * 3;
+      float* d = dst + (size_t(y) * crop + x) * 3;
+      d[0] = p[0] * inv;
+      d[1] = p[1] * inv;
+      d[2] = p[2] * inv;
+    }
+  }
+}
+
+// ----------------------------------------------------------------- loader
+
+struct Loader {
+  std::vector<std::string> paths;
+  int crop, batch, threads;
+  bool train;
+  uint64_t seed;
+
+  std::vector<std::thread> workers;
+  std::queue<std::vector<float>> ready;
+  std::mutex mu;
+  std::condition_variable cv_ready, cv_space;
+  std::atomic<bool> stop{false};
+  std::atomic<uint64_t> batch_counter{0};
+  size_t max_queue = 8;
+
+  void worker_loop() {
+    const size_t batch_floats = size_t(batch) * crop * crop * 3;
+    while (!stop.load()) {
+      uint64_t b = batch_counter.fetch_add(1);
+      std::vector<float> buf(batch_floats);
+      for (int i = 0; i < batch; ++i) {
+        std::mt19937 rng(uint32_t(seed ^ (b * 9973 + i) * 2654435761u));
+        // epoch-shuffled index stream, seeded like the python loader
+        uint64_t epoch = (b * batch + i) / paths.size();
+        std::mt19937 order_rng(uint32_t(seed + epoch));
+        std::vector<uint32_t> order(paths.size());
+        for (uint32_t j = 0; j < order.size(); ++j) order[j] = j;
+        if (train) std::shuffle(order.begin(), order.end(), order_rng);
+        size_t idx = order[(b * batch + i) % paths.size()];
+        Image img;
+        if (!decode_file(paths[idx], &img)) {
+          std::memset(buf.data() + size_t(i) * crop * crop * 3, 0,
+                      sizeof(float) * crop * crop * 3);
+          continue;
+        }
+        crop_augment(img, crop, train, rng, buf.data() + size_t(i) * crop * crop * 3);
+      }
+      std::unique_lock<std::mutex> lk(mu);
+      cv_space.wait(lk, [&] { return ready.size() < max_queue || stop.load(); });
+      if (stop.load()) return;
+      ready.push(std::move(buf));
+      cv_ready.notify_one();
+    }
+  }
+
+  void start() {
+    for (int i = 0; i < threads; ++i)
+      workers.emplace_back([this] { worker_loop(); });
+  }
+
+  bool next(float* out) {
+    std::unique_lock<std::mutex> lk(mu);
+    cv_ready.wait(lk, [&] { return !ready.empty() || stop.load(); });
+    if (ready.empty()) return false;
+    std::vector<float> buf = std::move(ready.front());
+    ready.pop();
+    cv_space.notify_one();
+    lk.unlock();
+    std::memcpy(out, buf.data(), buf.size() * sizeof(float));
+    return true;
+  }
+
+  ~Loader() {
+    stop.store(true);
+    cv_ready.notify_all();
+    cv_space.notify_all();
+    for (auto& t : workers)
+      if (t.joinable()) t.join();
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* loader_create(const char** paths, int n_paths, int crop, int batch,
+                    uint64_t seed, int n_threads, int train) {
+  auto* l = new Loader();
+  l->paths.assign(paths, paths + n_paths);
+  l->crop = crop;
+  l->batch = batch;
+  l->seed = seed;
+  l->threads = n_threads > 0 ? n_threads : 4;
+  l->train = train != 0;
+  l->start();
+  return l;
+}
+
+int loader_next(void* handle, float* out) {
+  return static_cast<Loader*>(handle)->next(out) ? 1 : 0;
+}
+
+void loader_destroy(void* handle) { delete static_cast<Loader*>(handle); }
+
+// single-image decode for inference paths
+int decode_image(const char* path, float* out, int max_h, int max_w,
+                 int* out_h, int* out_w) {
+  Image img;
+  if (!decode_file(path, &img)) return 0;
+  if (img.h > max_h || img.w > max_w) return -1;
+  *out_h = img.h;
+  *out_w = img.w;
+  const float inv = 1.0f / 255.0f;
+  for (size_t i = 0; i < img.rgb.size(); ++i) out[i] = img.rgb[i] * inv;
+  return 1;
+}
+}

@@ -14,6 +14,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
 import jax
@@ -91,9 +92,24 @@ def run_train(
     train_ds, valid_ds = build_datasets(cfg)
     spe = steps_per_epoch or cfg.steps_per_epoch or max(1, len(train_ds) // cfg.batch_size)
 
-    train_loader = BatchLoader(
-        train_ds, cfg.batch_size, shuffle=True, seed=cfg.seed, num_workers=cfg.num_workers
-    )
+    train_loader = None
+    if cfg.degradation in ("bicubic", "bsrgan") and os.environ.get("SRGANFD_NATIVE_LOADER", "1") != "0":
+        # GT-crop pipelines can use the C++ decode/augment loader
+        from srganfd_tpu.data import native_loader
+
+        if native_loader.available():
+            train_loader = native_loader.NativeBatchLoader(
+                train_ds.paths,
+                crop=cfg.crop_image_size or cfg.gt_image_size,
+                batch_size=cfg.batch_size,
+                seed=cfg.seed,
+                num_threads=max(cfg.num_workers, 2),
+            )
+            print("using native C++ data loader")
+    if train_loader is None:
+        train_loader = BatchLoader(
+            train_ds, cfg.batch_size, shuffle=True, seed=cfg.seed, num_workers=cfg.num_workers
+        )
     trainer = Trainer(cfg, steps_per_epoch=spe)
     train_adapter = DegradationAdapter(cfg, seed=cfg.seed, train=True)
     valid_adapter = DegradationAdapter(cfg, seed=cfg.seed + 1, train=True)

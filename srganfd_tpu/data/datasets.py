@@ -247,4 +247,7 @@ class BatchLoader:
                 yield item.result()
         finally:
             stop.set()
-            pool.shutdown(wait=False, cancel_futures=True)
+            try:
+                pool.shutdown(wait=False, cancel_futures=True)
+            except Exception:
+                pass  # interpreter teardown may have reaped queue internals

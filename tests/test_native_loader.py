@@ -1,0 +1,59 @@
+"""Native C++ loader: decode parity with cv2 and batch production."""
+
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from srganfd_tpu.data import native_loader
+
+
+@pytest.fixture(scope="module")
+def image_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("native_imgs")
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        img = rng.integers(0, 256, (90, 110, 3)).astype(np.uint8)
+        cv2.imwrite(str(d / f"a{i}.png"), img)
+        cv2.imwrite(str(d / f"b{i}.jpg"), img, [int(cv2.IMWRITE_JPEG_QUALITY), 95])
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def lib_available():
+    if not native_loader.available():
+        pytest.skip("native loader not built (needs g++ + libjpeg/libpng)")
+
+
+def test_png_decode_matches_cv2(image_dir, lib_available):
+    path = os.path.join(image_dir, "a0.png")
+    got = native_loader.decode_image_native(path)
+    want = cv2.imread(path)[..., ::-1].astype(np.float32) / 255.0
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_jpeg_decode_close_to_cv2(image_dir, lib_available):
+    path = os.path.join(image_dir, "b0.jpg")
+    got = native_loader.decode_image_native(path)
+    want = cv2.imread(path)[..., ::-1].astype(np.float32) / 255.0
+    assert got.shape == want.shape
+    # different IDCT implementations may differ by a few LSBs
+    assert np.abs(got - want).max() < 0.05
+    assert np.abs(got - want).mean() < 0.005
+
+
+def test_batch_production(image_dir, lib_available):
+    paths = sorted(
+        os.path.join(image_dir, f) for f in os.listdir(image_dir) if f.endswith(".png")
+    )
+    ld = native_loader.NativeBatchLoader(paths, crop=48, batch_size=3, seed=1, num_threads=2)
+    it = iter(ld)
+    b1 = next(it)
+    b2 = next(it)
+    assert b1["gt"].shape == (3, 48, 48, 3)
+    assert b1["gt"].dtype == np.float32
+    assert 0.0 <= b1["gt"].min() and b1["gt"].max() <= 1.0
+    assert not np.array_equal(b1["gt"], b2["gt"])
+    ld.close()
