@@ -99,6 +99,14 @@ class TrainValidImageDataset:
         return {"gt": img}
 
 
+# Surface-parity aliases: the reference ships thread+queue readahead
+# wrappers (``PrefetchGenerator``/``PrefetchDataLoader``,
+# ``ESRGAN/dataset.py:126-169``, unused by its train scripts); BatchLoader
+# IS that design, so the names resolve here.
+PrefetchGenerator = None  # set below once BatchLoader is defined
+PrefetchDataLoader = None
+
+
 class TestImageDataset:
     """Paired GT/LR directories, sorted order (``ESRGAN/dataset.py:90-123``)."""
 
@@ -251,3 +259,7 @@ class BatchLoader:
                 pool.shutdown(wait=False, cancel_futures=True)
             except Exception:
                 pass  # interpreter teardown may have reaped queue internals
+
+
+PrefetchGenerator = BatchLoader
+PrefetchDataLoader = BatchLoader
