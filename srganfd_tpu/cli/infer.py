@@ -42,6 +42,11 @@ def main() -> None:
     ap.add_argument("--device-type", "--device_type", dest="device", default="tpu", choices=["cpu", "tpu"])
     ap.add_argument("--tile", type=int, default=0, help="tile size for large-image tiled SR (0 = whole image)")
     ap.add_argument("--tile-overlap", type=int, default=16)
+    ap.add_argument(
+        "--spatial-shard",
+        action="store_true",
+        help="shard the image's H axis over all devices with ICI halo exchange",
+    )
     args = ap.parse_args()
 
     choice_device(args.device)
@@ -58,7 +63,20 @@ def main() -> None:
         params = model.init(jax.random.PRNGKey(0), x)["params"]
 
     apply_fn = jax.jit(lambda p, z: model.apply({"params": p}, z))
-    if args.tile:
+    if args.spatial_shard:
+        from srganfd_tpu.parallel import make_mesh
+        from srganfd_tpu.parallel.spatial import spatial_sharded_sr
+
+        upscale = apply_fn(params, jnp.zeros((1, 8, 8, 3))).shape[1] // 8
+        sr = spatial_sharded_sr(
+            lambda p, z: model.apply({"params": p}, z),
+            params,
+            img,
+            upscale,
+            make_mesh(),
+            halo=args.tile_overlap,
+        )
+    elif args.tile:
         from srganfd_tpu.parallel.tiled_inference import tiled_sr
 
         upscale = apply_fn(params, jnp.zeros((1, 8, 8, 3))).shape[1] // 8
