@@ -21,7 +21,7 @@ import numpy as np
 
 from srganfd_tpu import configs
 from srganfd_tpu.cli.degrade_adapter import DegradationAdapter
-from srganfd_tpu.data.datasets import TestImageDataset, TrainValidImageDataset, load_image_rgb, list_image_files
+from srganfd_tpu.data.datasets import load_image_rgb, list_image_files
 from srganfd_tpu.losses.lpips import Lpips
 from srganfd_tpu.metrics.psnr_ssim import psnr_tensor, ssim_tensor
 from srganfd_tpu.models import create_model
@@ -94,7 +94,9 @@ def main() -> None:
     psnrs, ssims, lpipses, niqes = [], [], [], []
     for i, (gt_path, lr_path) in enumerate(zip(gt_paths, lr_paths)):
         gt = load_image_rgb(gt_path)
-        gt, h0, w0 = _pad_to_multiple(gt, 16 * cfg.upscale_factor)
+        # coarse bucketing: fewer distinct padded shapes => fewer jit
+        # recompiles across a size-varied test set
+        gt, h0, w0 = _pad_to_multiple(gt, max(64, 16 * cfg.upscale_factor))
         if lr_path is None:
             batch = adapter({"gt": gt[None]}, i)
             lr_img = np.asarray(batch["lr"])[0]

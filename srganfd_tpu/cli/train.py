@@ -25,7 +25,7 @@ from srganfd_tpu import configs
 from srganfd_tpu.cli.degrade_adapter import DegradationAdapter
 from srganfd_tpu.data.datasets import BatchLoader, DegeneratedImageDataset, TrainValidImageDataset
 from srganfd_tpu.metrics.psnr_ssim import psnr_tensor, ssim_tensor
-from srganfd_tpu.parallel import make_mesh, prefetch_to_device
+from srganfd_tpu.parallel import make_mesh
 from srganfd_tpu.track.tracker import Tracker
 from srganfd_tpu.train import checkpoint as ckpt
 from srganfd_tpu.train.loop import Trainer
