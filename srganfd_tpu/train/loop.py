@@ -130,16 +130,18 @@ class Trainer:
     def _d_apply(
         self, params: Any, d_vars: Any, x: jax.Array, update_stats: bool
     ) -> tuple[jax.Array, Any]:
+        """Discriminator forward in train mode (batch statistics + spectral
+        power iteration), matching the reference keeping D in ``.train()``
+        for the whole step. ``update_stats=False`` still computes with
+        batch stats but DISCARDS the state updates (the reference would
+        also advance SN's u during the G step — a negligible divergence
+        noted in PARITY.md)."""
         variables = {"params": params, **(d_vars or {})}
-        mutable = list(d_vars.keys()) if (d_vars and update_stats) else False
-        kwargs = {}
-        # every discriminator family takes `train`; SNConv power iteration
-        # and BatchNorm stats update only when asked
-        kwargs["train"] = update_stats
+        mutable = list(d_vars.keys()) if d_vars else False
         if mutable:
-            out, new_vars = self.d_model.apply(variables, x, mutable=mutable, **kwargs)
-            return _first(out), new_vars
-        out = self.d_model.apply(variables, x, **kwargs)
+            out, new_vars = self.d_model.apply(variables, x, mutable=mutable, train=True)
+            return _first(out), (new_vars if update_stats else d_vars)
+        out = self.d_model.apply(variables, x, train=True)
         return _first(out), d_vars
 
     # -- the step -------------------------------------------------------------
