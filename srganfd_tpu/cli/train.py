@@ -184,8 +184,10 @@ def run_train(
             valid_ds, min(cfg.batch_size, len(valid_ds)), shuffle=False, loop=False,
             seed=cfg.seed, drop_last=True, num_workers=cfg.num_workers,
         )
+        # the reference validates the raw generator (train_rrdbnet.py:109,
+        # train_bsrgan.py:166); the EMA model is checkpointed alongside
         vm = validate(
-            cfg, trainer, state.ema_g_params, valid_loader, valid_adapter, lpips_fn=lpips_fn
+            cfg, trainer, state.g_params, valid_loader, valid_adapter, lpips_fn=lpips_fn
         )
         psnr, ssim = vm["psnr"], vm["ssim"]
         epoch_metrics = {"Valid/PSNR": psnr, "Valid/SSIM": ssim, "epoch": epoch}
