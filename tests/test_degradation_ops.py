@@ -116,3 +116,33 @@ def test_diffjpeg_quality_ordering():
     }
     err = {q: np.abs(outs[q] - np.asarray(img)).mean() for q in outs}
     assert err[10] > err[50] > err[95]
+
+
+def test_realesrgan_kernels_match_reference(goldens):
+    g = goldens("realesrgan_kernels")
+    np.testing.assert_allclose(kernels.bivariate_gaussian(21, 1.7), g["iso_21_1p7"], atol=1e-10)
+    np.testing.assert_allclose(
+        kernels.bivariate_gaussian(21, 1.7, 0.4, 0.8), g["aniso_21"], atol=1e-10
+    )
+    np.testing.assert_allclose(
+        kernels.bivariate_generalized_gaussian(17, 1.2, None, 0.0, 2.5),
+        g["gen_iso_17"],
+        atol=1e-10,
+    )
+    np.testing.assert_allclose(
+        kernels.bivariate_generalized_gaussian(17, 1.2, 2.0, 0.3, 2.5),
+        g["gen_aniso_17"],
+        atol=1e-10,
+    )
+    np.testing.assert_allclose(
+        kernels.bivariate_plateau(13, 0.8, None, 0.0, 1.5), g["plateau_iso_13"], atol=1e-10
+    )
+    np.testing.assert_allclose(
+        kernels.bivariate_plateau(13, 0.8, 1.1, -0.5, 1.5), g["plateau_aniso_13"], atol=1e-10
+    )
+    np.testing.assert_allclose(
+        kernels.sinc_kernel(np.pi / 3, 21), g["sinc_21"], atol=1e-12
+    )
+    np.testing.assert_allclose(
+        kernels.sinc_kernel(2.0, 13, pad_to=21), g["sinc_13_pad21"], atol=1e-12
+    )
