@@ -108,7 +108,11 @@ def _diff_round(x: jax.Array) -> jax.Array:
 
 
 def _codec_channel(
-    chan: jax.Array, table: np.ndarray, factor: jax.Array, differentiable: bool
+    chan: jax.Array,
+    table: np.ndarray,
+    factor: jax.Array,
+    differentiable: bool,
+    transpose_tables: bool,
 ) -> jax.Array:
     """DCT -> quantize -> round -> dequantize -> IDCT for one plane.
 
@@ -117,6 +121,8 @@ def _codec_channel(
     n, h, w = chan.shape
     blocks = _to_blocks(chan)
     coefs = _dct2(blocks)
+    if transpose_tables:
+        table = table.T
     q = jnp.asarray(table)[None, None] * factor[:, None, None, None]
     scaled = coefs / q
     rounded = _diff_round(scaled) if differentiable else jnp.round(scaled)
@@ -124,13 +130,22 @@ def _codec_channel(
     return _from_blocks(back, h, w)
 
 
-@functools.partial(jax.jit, static_argnames=("differentiable",))
-def diff_jpeg(images: jax.Array, quality: jax.Array, differentiable: bool = True) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("differentiable", "transpose_tables"))
+def diff_jpeg(
+    images: jax.Array,
+    quality: jax.Array,
+    differentiable: bool = True,
+    transpose_tables: bool = False,
+) -> jax.Array:
     """JPEG-compress a batch at per-sample quality.
 
     Args:
       images: (N, H, W, 3) RGB in [0,1]; H, W multiples of 16.
       quality: (N,) in [1, 100].
+      transpose_tables: the reference's DiffJPEG quantizes with TRANSPOSED
+        Y/C tables (``Real_ESRGAN/imgproc.py:43-51`` builds ``y_table.T``)
+        — a quirk diverging from libjpeg/cv2. False (default) follows the
+        JPEG standard; True reproduces the reference bit-for-bit.
     Returns (N, H, W, 3) in [0,1].
     """
     n, h, w, _ = images.shape
@@ -147,9 +162,10 @@ def diff_jpeg(images: jax.Array, quality: jax.Array, differentiable: bool = True
         return jnp.repeat(jnp.repeat(c, 2, axis=1), 2, axis=2)
 
     factor = jpeg_quality_to_factor(quality)
-    y_out = _codec_channel(y - 128.0, _Y_TABLE, factor, differentiable) + 128.0
-    cb_out = up(_codec_channel(down(cb) - 128.0, _C_TABLE, factor, differentiable) + 128.0)
-    cr_out = up(_codec_channel(down(cr) - 128.0, _C_TABLE, factor, differentiable) + 128.0)
+    tt = transpose_tables
+    y_out = _codec_channel(y - 128.0, _Y_TABLE, factor, differentiable, tt) + 128.0
+    cb_out = up(_codec_channel(down(cb) - 128.0, _C_TABLE, factor, differentiable, tt) + 128.0)
+    cr_out = up(_codec_channel(down(cr) - 128.0, _C_TABLE, factor, differentiable, tt) + 128.0)
 
     ycc_out = jnp.stack([y_out, cb_out - 128.0, cr_out - 128.0], axis=-1)
     rgb = ycc_out @ jnp.asarray(_YCBCR2RGB)

@@ -146,3 +146,15 @@ def test_realesrgan_kernels_match_reference(goldens):
     np.testing.assert_allclose(
         kernels.sinc_kernel(2.0, 13, pad_to=21), g["sinc_13_pad21"], atol=1e-12
     )
+
+
+@pytest.mark.parametrize("q", [30, 60, 95])
+@pytest.mark.parametrize("diff", [False, True])
+def test_diffjpeg_matches_reference_module(goldens, q, diff):
+    g = goldens("diffjpeg")
+    x = jnp.asarray(np.moveaxis(g["x"], 1, -1))
+    got = np.asarray(
+        jpeg.diff_jpeg(x, jnp.full((2,), float(q)), differentiable=diff, transpose_tables=True)
+    )
+    want = np.moveaxis(g[f"q{q}_diff" if diff else f"q{q}"], 1, -1)
+    np.testing.assert_allclose(got, want, atol=5e-3)
