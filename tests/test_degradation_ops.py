@@ -158,3 +158,13 @@ def test_diffjpeg_matches_reference_module(goldens, q, diff):
     )
     want = np.moveaxis(g[f"q{q}_diff" if diff else f"q{q}"], 1, -1)
     np.testing.assert_allclose(got, want, atol=5e-3)
+
+
+def test_usm_sharp_matches_reference(goldens):
+    import jax
+
+    from srganfd_tpu.ops.realesrgan_degrade import usm_sharp
+
+    g = goldens("usm")
+    got = np.asarray(usm_sharp(jnp.asarray(g["x"])[None], weight=0.5, radius=51, threshold=10.0))[0]
+    np.testing.assert_allclose(got, g["out"], atol=2e-5)
