@@ -111,3 +111,22 @@ def test_multistep_schedule():
     assert float(sched(0)) == 1.0
     assert float(sched(10)) == 0.5
     assert float(sched(25)) == 0.25
+
+
+def test_bf16_scan_trunk_gan_step():
+    # the exact bench configuration (bf16 compute, scanned trunk), shrunk
+    cfg = get_config("bsrgan").replace(
+        upscale_factor=4,
+        g_arch="bsrgan_x4",
+        g_kwargs={"scan_blocks": True, "channels": 8, "growth_channels": 4, "num_rrdb": 2},
+        gt_image_size=32,
+        batch_size=2,
+        content_weight=(),
+        compute_dtype="bfloat16",
+    )
+    tr = Trainer(cfg, steps_per_epoch=10)
+    gt, lr = _batch(np.random.default_rng(7), 2, 32, 4)
+    state = tr.init_state(jax.random.PRNGKey(7), lr.shape, gt.shape)
+    for _ in range(2):
+        state, metrics = tr.train_step(state, gt, lr)
+    assert all(np.isfinite(float(v)) for v in metrics.values())
