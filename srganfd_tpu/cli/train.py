@@ -87,7 +87,11 @@ def run_train(
     use_mesh: bool = True,
     resume: str = "",
     profile_dir: str = "",
+    save_every_steps: int = 0,
 ) -> dict:
+    """Train per the config. ``save_every_steps`` adds mid-epoch snapshots
+    (preemption recovery beyond the reference's per-epoch checkpoints); a
+    SIGTERM handler writes a final snapshot before exit."""
     mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes) if use_mesh else None
     train_ds, valid_ds = build_datasets(cfg)
     spe = steps_per_epoch or cfg.steps_per_epoch or max(1, len(train_ds) // cfg.batch_size)
@@ -150,8 +154,23 @@ def run_train(
     data_time = AverageMeter("Data", ":6.3f")
     g_loss_m = AverageMeter("G loss", ":6.4f")
 
+    ckpt_dir = f"{cfg.results_dir}/{cfg.exp_name or cfg.name}"
+
+    import signal
+
+    def _save_and_exit(signum, frame):  # pragma: no cover - signal path
+        print(f"signal {signum}: writing preemption checkpoint", flush=True)
+        ckpt.save_checkpoint(ckpt_dir, state, epoch, best, is_best=False, name="ckpt_preempt")
+        raise SystemExit(128 + signum)
+
+    try:
+        signal.signal(signal.SIGTERM, _save_and_exit)
+    except ValueError:
+        pass  # not the main thread (e.g. under a test harness)
+
     it = iter(train_loader)
     global_step = start_epoch * spe
+    epoch = start_epoch
     for epoch in range(start_epoch, cfg.epochs):
         if profile_dir and epoch == start_epoch:
             jax.profiler.start_trace(profile_dir)
@@ -174,6 +193,8 @@ def run_train(
                 tracker.log_metrics(
                     {f"Train/{k}": float(v) for k, v in metrics.items()}, global_step
                 )
+            if save_every_steps and global_step and global_step % save_every_steps == 0:
+                ckpt.save_checkpoint(ckpt_dir, state, epoch, best, is_best=False, name="ckpt_step")
             global_step += 1
         if profile_dir and epoch == start_epoch:
             jax.block_until_ready(jax.tree_util.tree_leaves(state.g_params)[0])
@@ -211,9 +232,7 @@ def run_train(
         best["psnr"] = max(best["psnr"], psnr)
         best["ssim"] = max(best["ssim"], ssim)
         best["lpips"] = min(best["lpips"], vm["lpips"])
-        ckpt.save_checkpoint(
-            f"{cfg.results_dir}/{cfg.exp_name or cfg.name}", state, epoch, best, is_best
-        )
+        ckpt.save_checkpoint(ckpt_dir, state, epoch, best, is_best)
     tracker.close()
     return {"best_psnr": best["psnr"], "best_ssim": best["ssim"], "state": state}
 
@@ -229,6 +248,7 @@ def main() -> None:
     ap.add_argument("--compute-dtype", default=None, choices=["bfloat16", "float32"])
     ap.add_argument("--resume", default="", help="checkpoint dir to resume full state from")
     ap.add_argument("--profile-dir", default="", help="capture a jax.profiler trace of epoch 0")
+    ap.add_argument("--save-every-steps", type=int, default=0, help="mid-epoch snapshot cadence")
     ap.add_argument(
         "--tiny", action="store_true", help="shrink the model for smoke tests (8ch, 1 block)"
     )
@@ -255,6 +275,7 @@ def main() -> None:
         steps_per_epoch=args.steps_per_epoch,
         resume=args.resume,
         profile_dir=args.profile_dir,
+        save_every_steps=args.save_every_steps,
     )
 
 
