@@ -48,3 +48,15 @@ def test_aggd_recovers_gaussian_alpha():
     alpha, bl, br = niqe_mod._estimate_aggd(vec)
     assert 1.7 < alpha < 2.4  # Gaussian => alpha ~ 2
     assert abs(bl - br) < 0.1
+
+
+def test_aggd_matches_reference_golden():
+    g = np.load(__file__.replace("test_niqe.py", "goldens/niqe_internals.npz"))
+    a, bl, br = niqe_mod._estimate_aggd(g["vec"])
+    np.testing.assert_allclose([a, bl, br], g["aggd"], atol=1e-10)
+
+
+def test_block_features_match_reference_golden():
+    g = np.load(__file__.replace("test_niqe.py", "goldens/niqe_internals.npz"))
+    feats = niqe_mod._block_features(g["block"])
+    np.testing.assert_allclose(feats, g["feats"], atol=1e-10)
