@@ -244,6 +244,41 @@ class AttentionUNetDiscriminator(nn.Module):
         return out, (ly1, ly2, ly3)
 
 
+class MultiScaleAttentionDiscriminator(nn.Module):
+    """A-ESRGAN paper's multi-scale attention-U-Net discriminator ensemble
+    (arXiv:2112.10046 §3.2): independent attention U-Nets judge the image
+    at 1x, 1/2x, ... resolutions; per-scale losses are summed by the
+    caller. The SR-GAN-FD fork trains only the single-scale variant
+    (SURVEY.md §2.2 note) — this restores the paper's design.
+
+    Returns (tuple of per-scale logit maps, full-res scale's attention
+    maps)."""
+
+    num_in_ch: int = 3
+    num_feat: int = 64
+    num_scales: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, train: bool = False
+    ) -> tuple[tuple[jax.Array, ...], tuple[jax.Array, ...]]:
+        x = x.astype(self.dtype)
+        outs = []
+        attns0: tuple[jax.Array, ...] = ()
+        cur = x
+        for s in range(self.num_scales):
+            out, attns = AttentionUNetDiscriminator(
+                self.num_in_ch, self.num_feat, self.dtype, name=f"D{s}"
+            )(cur, train)
+            outs.append(out)
+            if s == 0:
+                attns0 = attns
+            if s + 1 < self.num_scales:
+                cur = nn.avg_pool(cur, (2, 2), strides=(2, 2))
+        return tuple(outs), attns0
+
+
 # --- factories, reference-compatible names ---------------------------------
 
 
@@ -269,3 +304,8 @@ def discriminator_unet_sa(**kw: Any) -> DiscriminatorUNetSA:
 @register("discriminator_attention_unet")
 def discriminator_attention_unet(**kw: Any) -> AttentionUNetDiscriminator:
     return AttentionUNetDiscriminator(**kw)
+
+
+@register("discriminator_attention_unet_ms")
+def discriminator_attention_unet_ms(**kw: Any) -> MultiScaleAttentionDiscriminator:
+    return MultiScaleAttentionDiscriminator(**kw)

@@ -41,8 +41,25 @@ __all__ = ["Trainer"]
 
 def _first(x):
     """Discriminators that expose attention maps return tuples; the loss
-    only needs the logit map."""
+    only needs the logit map(s) — which may itself be a tuple of per-scale
+    maps for the multi-scale ensemble."""
     return x[0] if isinstance(x, tuple) else x
+
+
+def _bce_scales(outputs, target: float) -> jax.Array:
+    """BCE against a constant label over one logit map or a tuple of
+    per-scale maps (multi-scale ensemble losses are summed, per the
+    A-ESRGAN paper)."""
+    if isinstance(outputs, tuple):
+        return sum(
+            bce_with_logits(o, jnp.full_like(o, target)) for o in outputs
+        )
+    return bce_with_logits(outputs, jnp.full_like(outputs, target))
+
+
+def _mean_sigmoid(outputs) -> jax.Array:
+    o = outputs[0] if isinstance(outputs, tuple) else outputs
+    return jnp.mean(jax.nn.sigmoid(o))
 
 
 def _weighted(weights: tuple[float, ...], losses: jax.Array) -> jax.Array:
@@ -174,7 +191,7 @@ class Trainer:
                         adv_w, relativistic_g_loss(jax.lax.stop_gradient(gt_out), sr_out)
                     )
                 else:
-                    adv = _weighted(adv_w, bce_with_logits(sr_out, jnp.ones_like(sr_out)))
+                    adv = _weighted(adv_w, _bce_scales(sr_out, 1.0))
                 parts["adversarial_loss"] = adv
                 total = total + adv
             parts["g_loss"] = total
@@ -187,13 +204,11 @@ class Trainer:
                 if cfg.relativistic_gan:
                     loss = relativistic_d_loss(gt_out, sr_out)
                 else:
-                    loss = bce_with_logits(gt_out, jnp.ones_like(gt_out)) + bce_with_logits(
-                        sr_out, jnp.zeros_like(sr_out)
-                    )
+                    loss = _bce_scales(gt_out, 1.0) + _bce_scales(sr_out, 0.0)
                 aux = {
                     "d_loss": loss,
-                    "d_gt_probability": jnp.mean(jax.nn.sigmoid(gt_out)),
-                    "d_sr_probability": jnp.mean(jax.nn.sigmoid(sr_out)),
+                    "d_gt_probability": _mean_sigmoid(gt_out),
+                    "d_sr_probability": _mean_sigmoid(sr_out),
                     "d_vars": d_vars,
                 }
                 return loss, aux

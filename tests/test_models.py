@@ -117,3 +117,13 @@ def test_pixel_unshuffle_matches_torch():
 def test_registry_unknown_name():
     with pytest.raises(KeyError):
         models.create_model("not_an_arch")
+
+
+def test_multiscale_attention_discriminator():
+    d = models.create_model("discriminator_attention_unet_ms", num_scales=2)
+    x = jnp.zeros((1, 32, 32, 3))
+    (outs, attns) = _init_apply(d, x)
+    assert len(outs) == 2
+    assert outs[0].shape == (1, 32, 32, 1)
+    assert outs[1].shape == (1, 16, 16, 1)
+    assert len(attns) == 3  # full-res scale attention maps

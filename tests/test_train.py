@@ -130,3 +130,21 @@ def test_bf16_scan_trunk_gan_step():
     for _ in range(2):
         state, metrics = tr.train_step(state, gt, lr)
     assert all(np.isfinite(float(v)) for v in metrics.values())
+
+
+def test_multiscale_ensemble_gan_step():
+    # A-ESRGAN paper ensemble: two attention U-Nets at 1x and 1/2x
+    cfg = _tiny(get_config("aesrgan"))
+    cfg = cfg.replace(
+        d_arch="discriminator_attention_unet_ms",
+        g_kwargs={**cfg.g_kwargs, "num_rrdb": 1},
+        d_kwargs={"num_scales": 2},
+        content_weight=(),
+        gt_image_size=32,
+    )
+    tr = Trainer(cfg, steps_per_epoch=10)
+    gt, lr = _batch(np.random.default_rng(8), 2, 32, 2)
+    state = tr.init_state(jax.random.PRNGKey(8), lr.shape, gt.shape)
+    state, metrics = tr.train_step(state, gt, lr)
+    assert np.isfinite(float(metrics["d_loss"]))
+    assert np.isfinite(float(metrics["g_loss"]))
