@@ -249,6 +249,7 @@ def main() -> None:
     ap.add_argument("--resume", default="", help="checkpoint dir to resume full state from")
     ap.add_argument("--profile-dir", default="", help="capture a jax.profiler trace of epoch 0")
     ap.add_argument("--save-every-steps", type=int, default=0, help="mid-epoch snapshot cadence")
+    ap.add_argument("--d-arch", default=None, help="override discriminator arch (e.g. discriminator_attention_unet_ms)")
     ap.add_argument(
         "--tiny", action="store_true", help="shrink the model for smoke tests (8ch, 1 block)"
     )
@@ -265,6 +266,8 @@ def main() -> None:
         overrides["batch_size"] = args.batch_size
     if args.compute_dtype:
         overrides["compute_dtype"] = args.compute_dtype
+    if args.d_arch:
+        overrides["d_arch"] = args.d_arch
     cfg = configs.get_config(args.config, **overrides)
     if args.tiny:
         shrink = {"channels": 8, "growth_channels": 4}
