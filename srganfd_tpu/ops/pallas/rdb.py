@@ -1,0 +1,153 @@
+"""Fused Residual Dense Block forward as a Pallas TPU kernel (experimental).
+
+The RDB is the framework's hot op: 5 chained 3x3 convs over dense
+concatenations, 69 instances per RRDBNet forward. XLA executes each conv
+as a separate MXU op with HBM round-trips between them; this kernel keeps
+a whole spatial tile resident in VMEM across all five layers, expressing
+each conv as 9 shifted (H*W, Cin) @ (Cin, Cout) matmuls with the same
+per-source output grouping as the XLA `fused` dataflow
+(``models.blocks.ResidualDenseBlock``): x -> 192ch, out1 -> 160ch, ...
+
+Status: correctness-pinned against the Flax block in interpreter mode
+(tests); wiring into the model is gated on beating the XLA path on real
+hardware (tools/tpu_profile.py) — XLA's conv fusion on TPU is strong, so
+this stays opt-in until measured.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["rdb_forward_pallas"]
+
+_MARGIN = 5  # five chained 3x3 convs consume one halo pixel each
+
+
+def _conv3x3_valid(src: jax.Array, kern: jax.Array) -> jax.Array:
+    """Valid 3x3 conv on an (H, W, Cin) tile: 9 shifted matmuls (MXU)."""
+    h, w, _ = src.shape
+    oh, ow = h - 2, w - 2
+    acc = None
+    for dy in range(3):
+        for dx in range(3):
+            window = src[dy : dy + oh, dx : dx + ow, :]
+            part = jax.lax.dot_general(
+                window.reshape(oh * ow, -1),
+                kern[dy, dx],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = part if acc is None else acc + part
+    return acc.reshape(oh, ow, -1)
+
+
+def _lrelu(x: jax.Array) -> jax.Array:
+    return jnp.where(x >= 0, x, 0.2 * x)
+
+
+def _rdb_kernel(x_ref, *refs, ch: int, gc: int, th: int, w: int, img_h: int):
+    """One (batch, H-tile) cell. x_ref: (1, TH+10, W+10, ch) zero-padded
+    input; refs = 5 kernel refs + 5 bias refs + out_ref."""
+    kern_refs = refs[:5]
+    bias_refs = refs[5:10]
+    out_ref = refs[10]
+    j = pl.program_id(1)
+
+    def mask_outside_image(feat: jax.Array, margin: int) -> jax.Array:
+        """Zero positions beyond the true image extent: the Flax block's
+        'same' convs see literal zeros there at every layer, while this
+        fused chain would otherwise propagate halo activations."""
+        rows, cols = feat.shape[0], feat.shape[1]
+        gr = j * th - margin + jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+        gcol = -margin + jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+        ok = (gr >= 0) & (gr < img_h) & (gcol >= 0) & (gcol < w)
+        return feat * ok[..., None].astype(feat.dtype)
+
+    x = x_ref[0].astype(jnp.float32)
+    widths = [ch, gc, gc, gc, gc]
+    offsets = [0, ch, ch + gc, ch + 2 * gc, ch + 3 * gc]
+    splits = [gc, gc, gc, gc, ch]
+
+    def contributions(source_idx, inp):
+        """conv inp against kernels[k>=first] input-rows for this source,
+        one wide grouped matmul; returns per-target slices."""
+        first = source_idx
+        parts = [
+            kern_refs[k][:, :, offsets[source_idx] : offsets[source_idx] + widths[source_idx], :]
+            for k in range(first, 5)
+        ]
+        wide = jnp.concatenate([p.astype(jnp.float32) for p in parts], axis=3)
+        y = _conv3x3_valid(inp, wide)
+        out = [None] * 5
+        start = 0
+        for k in range(first, 5):
+            out[k] = y[..., start : start + splits[k]]
+            start += splits[k]
+        return out
+
+    # margins shrink by 1 per conv; acc[k] carries margin (4 - k)
+    acc = contributions(0, x)
+    for k in range(4):
+        margin_k = 4 - k  # remaining margin of acc[k]
+        y = acc[k] + bias_refs[k][:].astype(jnp.float32)
+        out_k = mask_outside_image(_lrelu(y), margin_k)
+        contrib = contributions(k + 1, out_k)
+        for t in range(k + 1, 5):
+            # trim acc[t] (margin 4-k) to the new margin (4-k-1) before add
+            trim = 1
+            a = acc[t]
+            acc[t] = a[trim:-trim, trim:-trim, :] + contrib[t]
+    out5 = acc[4] + bias_refs[4][:].astype(jnp.float32)
+    center = x[_MARGIN : _MARGIN + th, _MARGIN : _MARGIN + w, :]
+    out_ref[0] = (out5 * 0.2 + center).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_h", "interpret"))
+def rdb_forward_pallas(
+    x: jax.Array,
+    kernels: list[jax.Array],
+    biases: list[jax.Array],
+    tile_h: int = 32,
+    interpret: bool = False,
+) -> jax.Array:
+    """x: (N, H, W, ch); kernels[k]: (3, 3, ch + k*gc, gc|ch) reference-
+    shaped RDB conv kernels; biases to match. H must divide by tile_h."""
+    n, h, w, ch = x.shape
+    gc = kernels[0].shape[-1]
+    assert h % tile_h == 0, "H must be a multiple of tile_h"
+    m = _MARGIN
+    padded = jnp.pad(x, ((0, 0), (m, m), (m, m), (0, 0)))
+
+    grid = (n, h // tile_h)
+    kern_specs = [
+        pl.BlockSpec(k.shape, lambda i, j: (0, 0, 0, 0), memory_space=pltpu.VMEM)
+        for k in kernels
+    ]
+    bias_specs = [
+        pl.BlockSpec(b.shape, lambda i, j: (0,), memory_space=pltpu.VMEM) for b in biases
+    ]
+
+    return pl.pallas_call(
+        functools.partial(_rdb_kernel, ch=ch, gc=gc, th=tile_h, w=w, img_h=h),
+        grid=grid,
+        in_specs=[
+            # overlapping H windows: pl.Element takes elementwise starts
+            pl.BlockSpec(
+                (1, pl.Element(tile_h + 2 * m), w + 2 * m, ch),
+                lambda i, j: (i, j * tile_h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            *kern_specs,
+            *bias_specs,
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_h, w, ch), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, ch), x.dtype),
+        interpret=interpret,
+    )(padded, *kernels, *biases)
