@@ -83,6 +83,30 @@ def main() -> None:
     t_deg = timeit(lambda: apply_bsrgan_batch(gt, plan))
     print(f"BSRGAN degradation (gt {s}px, batch {b}): {t_deg * 1e3:.2f} ms")
 
+    # Pallas candidates vs their XLA counterparts
+    from srganfd_tpu.models.blocks import ResidualDenseBlock
+    from srganfd_tpu.ops import filters
+    from srganfd_tpu.ops.kernels import fspecial_gaussian, pad_kernel
+    from srganfd_tpu.ops.pallas.filter2d import filter2d_pallas
+    from srganfd_tpu.ops.pallas.rdb import rdb_forward_pallas
+
+    blur = jnp.asarray(
+        np.stack([pad_kernel(fspecial_gaussian(21, 2.0), 25)] * b).astype(np.float32)
+    )
+    t_f_xla = timeit(lambda: filters.filter2d(gt, blur))
+    t_f_pl = timeit(lambda: filter2d_pallas(gt, blur))
+    print(f"filter2d 25x25 (batch {b}, {s}px): XLA {t_f_xla * 1e3:.2f} ms | Pallas {t_f_pl * 1e3:.2f} ms")
+
+    block = ResidualDenseBlock(64, 32)
+    xb = jnp.asarray(rng.uniform(size=(b, 32, 32, 64)).astype(np.float32))
+    params = block.init(jax.random.PRNGKey(0), xb)["params"]
+    kerns = [jnp.asarray(params[f"conv{k}_kernel"]) for k in range(5)]
+    biases = [jnp.asarray(params[f"conv{k}_bias"]) for k in range(5)]
+    fused = jax.jit(lambda p, z: block.apply({"params": p}, z))
+    t_rdb_xla = timeit(lambda: fused(params, xb))
+    t_rdb_pl = timeit(lambda: rdb_forward_pallas(xb, kerns, biases, tile_h=32))
+    print(f"RDB fwd (batch {b}, 32px, 64/32ch): XLA {t_rdb_xla * 1e3:.3f} ms | Pallas {t_rdb_pl * 1e3:.3f} ms")
+
     if args.trace_dir:
         jax.profiler.start_trace(args.trace_dir)
         for _ in range(3):
