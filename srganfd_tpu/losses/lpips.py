@@ -110,13 +110,11 @@ class Lpips:
         x = (x - _SHIFT) / _SCALE
         return self.module.apply(self.variables, x)
 
-    def __call__(
-        self, a: jax.Array, b: jax.Array, assume_unit_range: bool = True
-    ) -> jax.Array:
-        """``assume_unit_range=True`` feeds the inputs as-is, reproducing
-        the reference scripts' behavior of passing [0,1] images."""
-        if not assume_unit_range:
-            pass  # inputs already in [-1,1], the LPIPS convention
+    def __call__(self, a: jax.Array, b: jax.Array) -> jax.Array:
+        """Inputs pass straight into the LPIPS scaling layer, exactly like
+        the torch package: feed [-1,1] for the LPIPS convention, or [0,1]
+        to reproduce the reference scripts' quirk of passing unnormalized
+        images (``ESRGAN/train_esrgan.py:524-526``)."""
         fa, fb = self._feats(a), self._feats(b)
         total = 0.0
         for xa, xb, lin in zip(fa, fb, self.lins):
