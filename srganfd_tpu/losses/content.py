@@ -137,9 +137,12 @@ class ContentLoss:
         self.nodes = tuple(nodes)
         if isinstance(weights, (int, float)):
             weights = [float(weights)] * len(self.nodes)
+        if len(weights) == 1:
+            # torch.mul broadcast semantics: the configs ship length-1
+            # weight lists against 5 per-node losses
+            # (BSRGAN/train_bsrgan.py:450-453, bsrgan_config.py pixel/content)
+            weights = list(weights) * len(self.nodes)
         if len(weights) != len(self.nodes):
-            # The reference broadcasts a shorter weight list by zipping; we
-            # require explicit lengths except the scalar case above.
             raise ValueError("weights must match nodes length")
         self.weights = jnp.asarray(list(weights), jnp.float32)
         self.mean = jnp.asarray(normalize_mean, jnp.float32)
