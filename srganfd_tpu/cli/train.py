@@ -250,6 +250,7 @@ def main() -> None:
     ap.add_argument("--profile-dir", default="", help="capture a jax.profiler trace of epoch 0")
     ap.add_argument("--save-every-steps", type=int, default=0, help="mid-epoch snapshot cadence")
     ap.add_argument("--d-arch", default=None, help="override discriminator arch (e.g. discriminator_attention_unet_ms)")
+    ap.add_argument("--gt-size", type=int, default=None, help="override gt_image_size (and disable pre-crop)")
     ap.add_argument(
         "--tiny", action="store_true", help="shrink the model for smoke tests (8ch, 1 block)"
     )
@@ -268,6 +269,9 @@ def main() -> None:
         overrides["compute_dtype"] = args.compute_dtype
     if args.d_arch:
         overrides["d_arch"] = args.d_arch
+    if args.gt_size:
+        overrides["gt_image_size"] = args.gt_size
+        overrides["crop_image_size"] = 0
     cfg = configs.get_config(args.config, **overrides)
     if args.tiny:
         shrink = {"channels": 8, "growth_channels": 4}
