@@ -62,12 +62,13 @@ class DegradationAdapter:
             lr_full = apply_bsrgan_batch(gt, plan)
             if not self.train:
                 return {"gt": gt, "lr": lr_full}
+            # aligned random crop gt_image_size (BSRGAN/imgproc.py:846-886).
+            # GT stays at full scale even when the chain's scale2 branch
+            # pre-halved internally: the reference reassigns the chain's
+            # local sf to 2 but crops gt/lr with the CONFIG's upscale
+            # factor (train_bsrgan.py:399), so the trained pair is always
+            # gt_image_size : gt_image_size/upscale_factor.
             sf = cfg.upscale_factor
-            # aligned random crop gt_image_size (BSRGAN/imgproc.py:846-886)
-            # against the post-scale2 GT scale
-            if plan.effective_upscale != sf:  # scale2 halved the LR basis
-                gt = imresize(gt, 0.5)
-                sf = plan.effective_upscale
             lr_limit_h = lr_full.shape[1] - cfg.gt_image_size // sf
             lr_limit_w = lr_full.shape[2] - cfg.gt_image_size // sf
             tops = jnp.asarray(self.rng.integers(0, lr_limit_h + 1, n))

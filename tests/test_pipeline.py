@@ -57,7 +57,9 @@ def test_realesrgan_adapter():
 
 
 def test_bsrgan_scale2_branch():
-    # force the x4 pre-downscale branch (scale2_prob=1)
+    # force the x4 pre-downscale branch (scale2_prob=1): the chain halves
+    # internally then downsamples by the reassigned sf=2 (net /4), but the
+    # trained pair keeps the CONFIG's x4 ratio (train_bsrgan.py:399)
     cfg = get_config("bsrgan").replace(
         upscale_factor=4,
         g_arch="bsrgan_x4",
@@ -67,6 +69,5 @@ def test_bsrgan_scale2_branch():
     )
     ad = DegradationAdapter(cfg, seed=0)
     out = ad(_gt_batch(2, 192, seed=1), 0)
-    # effective sf becomes 2 after the half-downscale: gt halves to 96-crop
     assert out["gt"].shape == (2, 96, 96, 3)
-    assert out["lr"].shape == (2, 48, 48, 3)
+    assert out["lr"].shape == (2, 24, 24, 3)
