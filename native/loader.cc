@@ -183,6 +183,10 @@ struct Loader {
 
   void worker_loop() {
     const size_t batch_floats = size_t(batch) * crop * crop * 3;
+    // per-worker cached epoch permutation (rebuilding it per sample would
+    // be O(dataset^2) per batch on large datasets)
+    uint64_t cached_epoch = ~0ull;
+    std::vector<uint32_t> order(paths.size());
     while (!stop.load()) {
       uint64_t b = batch_counter.fetch_add(1);
       std::vector<float> buf(batch_floats);
@@ -190,10 +194,14 @@ struct Loader {
         std::mt19937 rng(uint32_t(seed ^ (b * 9973 + i) * 2654435761u));
         // epoch-shuffled index stream, seeded like the python loader
         uint64_t epoch = (b * batch + i) / paths.size();
-        std::mt19937 order_rng(uint32_t(seed + epoch));
-        std::vector<uint32_t> order(paths.size());
-        for (uint32_t j = 0; j < order.size(); ++j) order[j] = j;
-        if (train) std::shuffle(order.begin(), order.end(), order_rng);
+        if (epoch != cached_epoch) {
+          for (uint32_t j = 0; j < order.size(); ++j) order[j] = j;
+          if (train) {
+            std::mt19937 order_rng(uint32_t(seed + epoch));
+            std::shuffle(order.begin(), order.end(), order_rng);
+          }
+          cached_epoch = epoch;
+        }
         size_t idx = order[(b * batch + i) % paths.size()];
         Image img;
         if (!decode_file(paths[idx], &img)) {

@@ -96,9 +96,10 @@ class DegradationAdapter:
             if not self.train:
                 return {"gt": gt, "gt_pixel": gt_usm, "lr": lr}
             sf = cfg.upscale_factor
-            lr_limit = lr.shape[1] - cfg.gt_image_size // sf
-            tops = jnp.asarray(self.rng.integers(0, max(lr_limit, 0) + 1, n))
-            lefts = jnp.asarray(self.rng.integers(0, max(lr_limit, 0) + 1, n))
+            lr_limit_h = lr.shape[1] - cfg.gt_image_size // sf
+            lr_limit_w = lr.shape[2] - cfg.gt_image_size // sf
+            tops = jnp.asarray(self.rng.integers(0, max(lr_limit_h, 0) + 1, n))
+            lefts = jnp.asarray(self.rng.integers(0, max(lr_limit_w, 0) + 1, n))
             gt_c, lr_c = augment.paired_random_crop(gt, lr, tops, lefts, cfg.gt_image_size, sf)
             usm_c, _ = augment.paired_random_crop(gt_usm, lr, tops, lefts, cfg.gt_image_size, sf)
             hf = jnp.asarray((self.rng.random(n) < 0.5).astype(np.float32))
