@@ -39,6 +39,7 @@ def main() -> None:
     ap.add_argument("--inputs-path", "--inputs_path", dest="inputs", required=True)
     ap.add_argument("--output-path", "--output_path", dest="output", required=True)
     ap.add_argument("--weights", "--model_weights_path", dest="weights", default="")
+    ap.add_argument("--use-ema", action="store_true", help="evaluate the EMA generator instead of the raw one")
     ap.add_argument("--device-type", "--device_type", dest="device", default="tpu", choices=["cpu", "tpu"])
     ap.add_argument("--tile", type=int, default=0, help="tile size for large-image tiled SR (0 = whole image)")
     ap.add_argument("--tile-overlap", type=int, default=16)
@@ -57,7 +58,8 @@ def main() -> None:
 
     if args.weights:
         payload = ckpt.load_checkpoint(args.weights)
-        params = payload["state"]["ema_g_params"]
+        key = "ema_g_params" if args.use_ema else "g_params"
+        params = payload["state"][key]
     else:
         print("! no --weights given: using randomly initialized parameters")
         params = model.init(jax.random.PRNGKey(0), x)["params"]

@@ -61,9 +61,15 @@ def main() -> None:
         help="log discriminator attention maps (test_bsrgan.py:216-221 / A-ESRGAN getAttentionLayers)",
     )
     ap.add_argument("--niqe-model", default="", help=".mat pristine model; enables NIQE")
+    ap.add_argument("--tiny", action="store_true", help="shrink models (matches train --tiny)")
+    ap.add_argument("--use-ema", action="store_true", help="evaluate the EMA generator instead of the raw one")
     args = ap.parse_args()
 
     cfg = configs.get_config(args.config, mode="test")
+    if args.tiny:
+        shrink = {"channels": 8, "growth_channels": 4}
+        count_key = "num_blocks" if cfg.g_arch.startswith("rrdbnet") else "num_rrdb"
+        cfg = cfg.replace(g_kwargs={**cfg.g_kwargs, **shrink, count_key: 1})
     model = create_model(cfg.g_arch, **cfg.g_kwargs)
     tracker = Tracker(cfg.experience_name or cfg.name, cfg.run_name, cfg.run_id,
                       samples_dir=cfg.samples_dir)
@@ -107,7 +113,8 @@ def main() -> None:
         if params is None:
             if args.weights:
                 payload = ckpt.load_checkpoint(args.weights)
-                params = payload["state"]["ema_g_params"]
+                key = "ema_g_params" if args.use_ema else "g_params"
+                params = payload["state"][key]
             else:
                 print("! no --weights: randomly initialized generator")
                 params = model.init(jax.random.PRNGKey(0), x)["params"]
@@ -149,6 +156,17 @@ def main() -> None:
         if d_model is not None:
             if d_variables is None:
                 d_variables = d_model.init(jax.random.PRNGKey(0), gt_t)
+                if args.weights:
+                    # the training checkpoint carries d_params + d_vars
+                    payload_d = ckpt.load_checkpoint(args.weights)
+                    state_d = payload_d["state"]
+                    if state_d.get("d_params") is not None:
+                        d_variables = {
+                            "params": state_d["d_params"],
+                            **(state_d.get("d_vars") or {}),
+                        }
+                    else:
+                        print("! checkpoint has no discriminator: using random D for heat-maps")
             d_out = d_model.apply(d_variables, gt_t)
             sr_out = d_model.apply(d_variables, sr)
             logits_gt, logits_sr = (

@@ -252,6 +252,11 @@ def main() -> None:
     ap.add_argument("--d-arch", default=None, help="override discriminator arch (e.g. discriminator_attention_unet_ms)")
     ap.add_argument("--gt-size", type=int, default=None, help="override gt_image_size (and disable pre-crop)")
     ap.add_argument(
+        "--debug-nans",
+        action="store_true",
+        help="fault detection: raise at the first NaN-producing op (jax_debug_nans)",
+    )
+    ap.add_argument(
         "--tiny", action="store_true", help="shrink the model for smoke tests (8ch, 1 block)"
     )
     args = ap.parse_args()
@@ -272,6 +277,8 @@ def main() -> None:
     if args.gt_size:
         overrides["gt_image_size"] = args.gt_size
         overrides["crop_image_size"] = 0
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     cfg = configs.get_config(args.config, **overrides)
     if args.tiny:
         shrink = {"channels": 8, "growth_channels": 4}
