@@ -166,6 +166,4 @@ class ContentLoss:
         return losses
 
     def __call__(self, sr: jax.Array, gt: jax.Array) -> jax.Array:
-        losses = self.per_node(sr, gt)
-        total = jnp.sum(self.weights * losses)
-        return total if len(self.nodes) > 1 else total
+        return jnp.sum(self.weights * self.per_node(sr, gt))
