@@ -33,6 +33,12 @@ from srganfd_tpu.utils.meters import AverageMeter, ProgressMeter
 
 
 def build_datasets(cfg):
+    if cfg.degradation == "paired":
+        from srganfd_tpu.data.datasets import PairedImageDataset
+
+        train_ds = PairedImageDataset(cfg.train_gt_images_dir, cfg.train_lr_images_dir)
+        valid_ds = PairedImageDataset(cfg.valid_gt_images_dir, cfg.valid_lr_images_dir)
+        return train_ds, valid_ds
     if cfg.degradation == "realesrgan":
         train_ds = DegeneratedImageDataset(
             cfg.train_gt_images_dir,

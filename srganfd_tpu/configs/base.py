@@ -30,6 +30,8 @@ class ExperimentConfig:
     # data
     train_gt_images_dir: str = "data/train"
     valid_gt_images_dir: str = "data/valid"
+    train_lr_images_dir: str = ""  # paired mode (PairedImageDataset)
+    valid_lr_images_dir: str = ""
     test_gt_images_dir: str = ""
     test_lr_images_dir: str = ""
     crop_image_size: int = 0  # BSRGAN host-side pre-crop (0 = disabled)
