@@ -179,6 +179,34 @@ def random_mixed_kernel(
     raise ValueError(f"unknown kernel type {kind}")
 
 
+def shift_pixel(x: np.ndarray, sf: int, upper_left: bool = True) -> np.ndarray:
+    """Sub-pixel shift by (sf-1)/2 via bilinear resampling with edge clamp
+    (``BSRGAN/imgproc.py:137-157``; used to center blur kernels before
+    strided downsampling in the chain's disabled op-2 branch — provided
+    for surface completeness and re-enabling that branch)."""
+    h, w = x.shape[:2]
+    shift = (sf - 1) * 0.5
+    sign = 1.0 if upper_left else -1.0
+    xs = np.clip(np.arange(w) + sign * shift, 0, w - 1)
+    ys = np.clip(np.arange(h) + sign * shift, 0, h - 1)
+    x0 = np.floor(xs).astype(int)
+    x1 = np.minimum(x0 + 1, w - 1)
+    y0 = np.floor(ys).astype(int)
+    y1 = np.minimum(y0 + 1, h - 1)
+    fx = (xs - x0)[None, :]
+    fy = (ys - y0)[:, None]
+    arr = x.astype(np.float64)
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    out = (
+        arr[np.ix_(y0, x0)] * (1 - fy)[..., None] * (1 - fx)[..., None]
+        + arr[np.ix_(y0, x1)] * (1 - fy)[..., None] * fx[..., None]
+        + arr[np.ix_(y1, x0)] * fy[..., None] * (1 - fx)[..., None]
+        + arr[np.ix_(y1, x1)] * fy[..., None] * fx[..., None]
+    )
+    return out[..., 0] if x.ndim == 2 else out
+
+
 def pad_kernel(k: np.ndarray, size: int) -> np.ndarray:
     """Center-pad an odd-sized kernel to ``size`` x ``size`` (zero fill) so
     batches of mixed-size kernels have a static shape for the device op."""
