@@ -1,0 +1,50 @@
+"""End-to-end CLI training path as a test: synthetic data -> run_train ->
+checkpoints + metrics (the L1 minimum slice, SURVEY.md §7.4)."""
+
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from srganfd_tpu.cli.train import run_train
+from srganfd_tpu.configs import get_config
+
+
+@pytest.fixture(scope="module")
+def data_dirs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli_data")
+    rng = np.random.default_rng(0)
+    for split, n in [("train", 4), ("valid", 2)]:
+        d = root / split
+        d.mkdir()
+        for i in range(n):
+            base = rng.uniform(0, 1, (16, 16, 3))
+            img = cv2.resize(base, (96, 96), interpolation=cv2.INTER_CUBIC)
+            cv2.imwrite(str(d / f"im{i}.png"), (np.clip(img, 0, 1) * 255).astype(np.uint8))
+    return str(root / "train"), str(root / "valid")
+
+
+def test_run_train_minimum_slice(data_dirs, tmp_path, monkeypatch):
+    train_dir, valid_dir = data_dirs
+    monkeypatch.chdir(tmp_path)
+    cfg = get_config(
+        "rrdbnet",
+        train_gt_images_dir=train_dir,
+        valid_gt_images_dir=valid_dir,
+        epochs=1,
+        batch_size=2,
+        gt_image_size=32,
+        compute_dtype="float32",
+        g_kwargs={"channels": 8, "growth_channels": 4, "num_blocks": 1},
+    )
+    out = run_train(cfg, steps_per_epoch=2)
+    assert np.isfinite(out["best_psnr"]) and out["best_psnr"] > 0
+    ckpt_dir = tmp_path / "results" / "train_RRDBNet_x4"
+    assert (ckpt_dir / "ckpt_last").exists()
+    assert (ckpt_dir / "ckpt_best").exists()
+    assert (ckpt_dir / "ckpt_last.meta.json").exists()
+    # tracker wrote events
+    logs = list((tmp_path / "samples" / "logs").rglob("events.jsonl"))
+    assert logs and os.path.getsize(logs[0]) > 0
