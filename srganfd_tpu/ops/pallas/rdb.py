@@ -107,6 +107,60 @@ def _rdb_kernel(x_ref, *refs, ch: int, gc: int, th: int, w: int, img_h: int):
     out_ref[0] = (out5 * 0.2 + center).astype(out_ref.dtype)
 
 
+def _rdb_xla(x, kernels, biases):
+    """The equivalent XLA dataflow (mirrors models.blocks fused layout);
+    used as the rematerialized backward of the Pallas forward."""
+    ch = x.shape[-1]
+    gc = kernels[0].shape[-1]
+    offsets = [0, ch, ch + gc, ch + 2 * gc, ch + 3 * gc]
+    widths = [ch, gc, gc, gc, gc]
+    splits = [gc, gc, gc, gc, ch]
+
+    def conv(inp, kern):
+        return jax.lax.conv_general_dilated(
+            inp, kern, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    def contributions(s, inp):
+        parts = [kernels[k][:, :, offsets[s] : offsets[s] + widths[s], :] for k in range(s, 5)]
+        y = conv(inp, jnp.concatenate(parts, axis=3))
+        out = [None] * 5
+        start = 0
+        for k in range(s, 5):
+            out[k] = y[..., start : start + splits[k]]
+            start += splits[k]
+        return out
+
+    acc = contributions(0, x)
+    for k in range(4):
+        out_k = jnp.where(acc[k] + biases[k] >= 0, acc[k] + biases[k], 0.2 * (acc[k] + biases[k]))
+        contrib = contributions(k + 1, out_k)
+        for t in range(k + 1, 5):
+            acc[t] = acc[t] + contrib[t]
+    return (acc[4] + biases[4]) * 0.2 + x
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def rdb_apply(x, kernels, biases, tile_h=32):
+    """Trainable fused RDB: Pallas forward, rematerialized XLA backward.
+    kernels/biases are tuples of the 5 reference-shaped conv params."""
+    return rdb_forward_pallas(x, list(kernels), list(biases), tile_h=tile_h)
+
+
+def _rdb_apply_fwd(x, kernels, biases, tile_h):
+    return rdb_apply(x, kernels, biases, tile_h), (x, kernels, biases)
+
+
+def _rdb_apply_bwd(tile_h, residuals, g):
+    x, kernels, biases = residuals
+    _, vjp_fn = jax.vjp(_rdb_xla, x, kernels, biases)
+    return vjp_fn(g)
+
+
+rdb_apply.defvjp(_rdb_apply_fwd, _rdb_apply_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("tile_h", "interpret"))
 def rdb_forward_pallas(
     x: jax.Array,

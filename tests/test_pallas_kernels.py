@@ -40,3 +40,39 @@ def test_rdb_pallas_matches_flax_block():
     biases_ = [jnp.asarray(params[f"conv{k}_bias"]) for k in range(5)]
     got = np.asarray(rdb_forward_pallas(x, kernels_, biases_, tile_h=8, interpret=True))
     np.testing.assert_allclose(got, want, atol=3e-6, rtol=1e-5)
+
+
+def test_rdb_apply_custom_vjp_gradients():
+    import jax
+    from functools import partial
+
+    from srganfd_tpu.models.blocks import ResidualDenseBlock
+    from srganfd_tpu.ops.pallas import rdb as rdb_mod
+
+    ch, gc = 16, 8
+    block = ResidualDenseBlock(ch, gc)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, ch)).astype(np.float32))
+    params = block.init(jax.random.PRNGKey(0), x)["params"]
+    kernels_ = tuple(jnp.asarray(params[f"conv{k}_kernel"]) for k in range(5))
+    biases_ = tuple(jnp.asarray(params[f"conv{k}_bias"]) for k in range(5))
+
+    # force interpreter mode inside the custom-vjp forward for CPU testing
+    orig = rdb_mod.rdb_forward_pallas
+    rdb_mod.rdb_forward_pallas = partial(orig, interpret=True)
+    try:
+        def loss_pallas(x_in, ks, bs):
+            return jnp.sum(rdb_mod.rdb_apply(x_in, ks, bs, 8) ** 2)
+
+        def loss_flax(x_in, ks, bs):
+            p = {f"conv{k}_kernel": ks[k] for k in range(5)}
+            p.update({f"conv{k}_bias": bs[k] for k in range(5)})
+            return jnp.sum(block.apply({"params": p}, x_in) ** 2)
+
+        va, grads_a = jax.value_and_grad(loss_pallas, argnums=(0, 1, 2))(x, kernels_, biases_)
+        vb, grads_b = jax.value_and_grad(loss_flax, argnums=(0, 1, 2))(x, kernels_, biases_)
+        assert abs(float(va) - float(vb)) < 1e-3
+        for ga, gb in zip(jax.tree_util.tree_leaves(grads_a), jax.tree_util.tree_leaves(grads_b)):
+            np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-3, rtol=1e-3)
+    finally:
+        rdb_mod.rdb_forward_pallas = orig
