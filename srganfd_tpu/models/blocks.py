@@ -132,6 +132,7 @@ class ResidualDenseBlock(nn.Module):
     growth_channels: int
     dtype: Any = jnp.float32
     fused: bool = True
+    pallas: bool = False  # fused VMEM-resident kernel (benchmark-gated)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -146,6 +147,15 @@ class ResidualDenseBlock(nn.Module):
                 self.param(f"conv{k}_kernel", kaiming_x01, (3, 3, cin, cout), jnp.float32)
             )
             biases.append(self.param(f"conv{k}_bias", nn.initializers.zeros, (cout,), jnp.float32))
+
+        if self.pallas and not self.is_initializing():
+            from srganfd_tpu.ops.pallas.rdb import rdb_apply
+
+            h = x.shape[1]
+            tile_h = next(t for t in (32, 16, 8, 4, 2, 1) if h % t == 0)
+            return rdb_apply(
+                x.astype(self.dtype), tuple(kernels), tuple(biases), tile_h
+            ).astype(self.dtype)
 
         def conv(inp, kern):
             return jax.lax.conv_general_dilated(
@@ -210,12 +220,16 @@ class RRDB(nn.Module):
     channels: int
     growth_channels: int
     dtype: Any = jnp.float32
+    pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        out = ResidualDenseBlock(self.channels, self.growth_channels, self.dtype)(x)
-        out = ResidualDenseBlock(self.channels, self.growth_channels, self.dtype)(out)
-        out = ResidualDenseBlock(self.channels, self.growth_channels, self.dtype)(out)
+        rdb = lambda: ResidualDenseBlock(
+            self.channels, self.growth_channels, self.dtype, pallas=self.pallas
+        )
+        out = rdb()(x)
+        out = rdb()(out)
+        out = rdb()(out)
         return out * 0.2 + x
 
 
