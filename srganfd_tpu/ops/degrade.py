@@ -21,8 +21,10 @@ the gather+einsum MATLAB bicubic.
 
 Faithfulness deviations (documented, distribution-preserving):
 - The two blur slots commute (linear convolution), so only the JPEG
-  position within the 3-op shuffle matters; it is sampled uniformly
-  per *batch* rather than per sample (one compiled program, no 3x JPEG).
+  position within the 3-op shuffle matters; by default it is sampled
+  uniformly per *batch* (one DiffJPEG application); set
+  ``per_sample_order=True`` in the plan (or degradation_params) for the
+  reference's literal per-sample placement at 3x the JPEG cost.
 - JPEG quantization uses DiffJPEG rather than cv2's entropy-coded codec
   (same transform/quantization; no entropy coding, which is lossless).
 """
@@ -60,7 +62,7 @@ class BsrganPlan:
     kernels_b: np.ndarray  # (N, 25, 25)
     jpeg_quality: np.ndarray  # (N,) mid-chain quality
     jpeg_apply: np.ndarray  # (N,) float mask {0,1}
-    jpeg_pos: int  # 0 before blurs, 1 between, 2 after
+    jpeg_pos: int | np.ndarray  # slot of the mid JPEG: int (per batch) or (N,) per sample
     final_jpeg_quality: np.ndarray  # (N,)
     scale2: bool  # per-batch 1/2 pre-downscale (sf==4 only)
     scale2_interp: int  # 0 = MATLAB bicubic, else cv2 flag 1/2/3
@@ -73,9 +75,14 @@ def plan_bsrgan_batch(
     upscale_factor: int,
     jpeg_prob: float = 0.9,
     scale2_prob: float = 0.25,
+    per_sample_order: bool = False,
     **_unused,
 ) -> BsrganPlan:
-    """Sample all chain randomness for one batch (host side)."""
+    """Sample all chain randomness for one batch (host side).
+
+    ``per_sample_order=True`` samples the mid-JPEG's slot position per
+    sample like the reference's per-sample shuffle (costs 3 masked
+    DiffJPEG applications per batch instead of 1)."""
     ka = np.stack(
         [
             kernels.pad_kernel(kernels.bsrgan_random_blur_kernel(rng, upscale_factor), _KPAD)
@@ -95,7 +102,11 @@ def plan_bsrgan_batch(
         kernels_b=kb,
         jpeg_quality=rng.integers(30, 96, size=batch_size).astype(np.float32),
         jpeg_apply=(rng.random(batch_size) < jpeg_prob).astype(np.float32),
-        jpeg_pos=int(rng.integers(0, 3)),
+        jpeg_pos=(
+            rng.integers(0, 3, size=batch_size).astype(np.int32)
+            if per_sample_order
+            else int(rng.integers(0, 3))
+        ),
         final_jpeg_quality=rng.integers(30, 96, size=batch_size).astype(np.float32),
         scale2=scale2,
         scale2_interp=scale2_interp,
@@ -122,7 +133,8 @@ def _masked_jpeg(x: jax.Array, quality: jax.Array, mask: jax.Array | None) -> ja
 
 
 @functools.partial(
-    jax.jit, static_argnames=("jpeg_pos", "scale2", "scale2_interp", "effective_upscale")
+    jax.jit,
+    static_argnames=("jpeg_pos", "per_sample_order", "scale2", "scale2_interp", "effective_upscale"),
 )
 def _apply_chain(
     images: jax.Array,
@@ -131,7 +143,9 @@ def _apply_chain(
     jpeg_quality: jax.Array,
     jpeg_apply: jax.Array,
     final_jpeg_quality: jax.Array,
+    jpeg_pos_arr: jax.Array,
     jpeg_pos: int,
+    per_sample_order: bool,
     scale2: bool,
     scale2_interp: int,
     effective_upscale: int,
@@ -145,14 +159,25 @@ def _apply_chain(
             x = cv2_style_resize(x, (int(0.5 * h), int(0.5 * w)), scale2_interp)
         x = jnp.clip(x, 0.0, 1.0)
 
-    if jpeg_pos == 0:
-        x = _masked_jpeg(x, jpeg_quality, jpeg_apply)
-    x = filters.filter2d(x, kernels_a)
-    if jpeg_pos == 1:
-        x = _masked_jpeg(x, jpeg_quality, jpeg_apply)
-    x = filters.filter2d(x, kernels_b)
-    if jpeg_pos == 2:
-        x = _masked_jpeg(x, jpeg_quality, jpeg_apply)
+    if not per_sample_order:
+        # per-batch slot: one DiffJPEG application
+        if jpeg_pos == 0:
+            x = _masked_jpeg(x, jpeg_quality, jpeg_apply)
+        x = filters.filter2d(x, kernels_a)
+        if jpeg_pos == 1:
+            x = _masked_jpeg(x, jpeg_quality, jpeg_apply)
+        x = filters.filter2d(x, kernels_b)
+        if jpeg_pos == 2:
+            x = _masked_jpeg(x, jpeg_quality, jpeg_apply)
+    else:
+        # per-sample slot (reference's per-sample shuffle): masked DiffJPEG
+        # at every slot, selected per sample
+        pos = jpeg_pos_arr
+        x = _masked_jpeg(x, jpeg_quality, jpeg_apply * (pos == 0))
+        x = filters.filter2d(x, kernels_a)
+        x = _masked_jpeg(x, jpeg_quality, jpeg_apply * (pos == 1))
+        x = filters.filter2d(x, kernels_b)
+        x = _masked_jpeg(x, jpeg_quality, jpeg_apply * (pos == 2))
 
     x = _masked_jpeg(x, final_jpeg_quality, None)  # final JPEG, always
     x = imresize(x, 1.0 / effective_upscale)
@@ -166,6 +191,12 @@ def apply_bsrgan_batch(images: jax.Array, plan: BsrganPlan) -> jax.Array:
     after the pre-downscale) — identical to the reference's final
     ``image_resize(image, 1/sf)``.
     """
+    per_sample = not isinstance(plan.jpeg_pos, int)
+    pos_arr = (
+        jnp.asarray(plan.jpeg_pos)
+        if per_sample
+        else jnp.zeros((images.shape[0],), jnp.int32)
+    )
     return _apply_chain(
         images,
         jnp.asarray(plan.kernels_a),
@@ -173,7 +204,9 @@ def apply_bsrgan_batch(images: jax.Array, plan: BsrganPlan) -> jax.Array:
         jnp.asarray(plan.jpeg_quality),
         jnp.asarray(plan.jpeg_apply),
         jnp.asarray(plan.final_jpeg_quality),
-        plan.jpeg_pos,
+        pos_arr,
+        plan.jpeg_pos if not per_sample else 0,
+        per_sample,
         plan.scale2,
         plan.scale2_interp,
         plan.effective_upscale,

@@ -168,3 +168,20 @@ def test_usm_sharp_matches_reference(goldens):
     g = goldens("usm")
     got = np.asarray(usm_sharp(jnp.asarray(g["x"])[None], weight=0.5, radius=51, threshold=10.0))[0]
     np.testing.assert_allclose(got, g["out"], atol=2e-5)
+
+
+def test_bsrgan_chain_per_sample_order():
+    from srganfd_tpu.ops.degrade import apply_bsrgan_batch, plan_bsrgan_batch
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(size=(3, 32, 32, 3)).astype(np.float32))
+    plan = plan_bsrgan_batch(rng, 3, 2, per_sample_order=True)
+    assert not isinstance(plan.jpeg_pos, int)
+    out = apply_bsrgan_batch(x, plan)
+    assert out.shape == (3, 16, 16, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # per-batch plan still works and gives the same output shape
+    plan2 = plan_bsrgan_batch(rng, 3, 2)
+    out2 = apply_bsrgan_batch(x, plan2)
+    assert out2.shape == (3, 16, 16, 3)
