@@ -35,7 +35,8 @@ __all__ = ["DegradationAdapter"]
 class DegradationAdapter:
     def __init__(self, cfg: ExperimentConfig, seed: int = 0, train: bool = True) -> None:
         self.cfg = cfg
-        self.rng = np.random.default_rng(seed)
+        # per-host RNG fold-in: hosts draw independent degradation plans
+        self.rng = np.random.default_rng((seed, jax.process_index()))
         self.train = train
         self._bicubic = jax.jit(
             lambda g: jnp.clip(imresize(g, 1.0 / cfg.upscale_factor), 0.0, 1.0)

@@ -39,11 +39,18 @@ from srganfd_tpu.ops.realesrgan_degrade import sample_kernel_triple
 IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff", ".webp")
 
 
-def list_image_files(directory: str) -> list[str]:
+def list_image_files(directory: str, shard: tuple[int, int] | None = None) -> list[str]:
+    """Sorted image paths; ``shard=(index, count)`` keeps every count-th
+    file starting at index — the per-host split for multi-host training
+    (pass ``(jax.process_index(), jax.process_count())``)."""
     names = sorted(
         f for f in os.listdir(directory) if f.lower().endswith(IMAGE_EXTS)
     )
-    return [os.path.join(directory, f) for f in names]
+    paths = [os.path.join(directory, f) for f in names]
+    if shard is not None:
+        index, count = shard
+        paths = paths[index::count]
+    return paths
 
 
 def load_image_rgb(path: str) -> np.ndarray:
