@@ -71,3 +71,15 @@ def test_bsrgan_scale2_branch():
     out = ad(_gt_batch(2, 192, seed=1), 0)
     assert out["gt"].shape == (2, 96, 96, 3)
     assert out["lr"].shape == (2, 24, 24, 3)
+
+
+def test_degradation_adapter_deterministic_by_seed():
+    # reproducibility: same seed => identical degraded batches
+    cfg = get_config("bsrgan").replace(crop_image_size=96, gt_image_size=48)
+    batch = _gt_batch(2, 96, seed=3)
+    out_a = DegradationAdapter(cfg, seed=5)(dict(batch), 0)
+    out_b = DegradationAdapter(cfg, seed=5)(dict(batch), 0)
+    np.testing.assert_array_equal(np.asarray(out_a["lr"]), np.asarray(out_b["lr"]))
+    np.testing.assert_array_equal(np.asarray(out_a["gt"]), np.asarray(out_b["gt"]))
+    out_c = DegradationAdapter(cfg, seed=6)(dict(batch), 0)
+    assert not np.array_equal(np.asarray(out_a["lr"]), np.asarray(out_c["lr"]))
