@@ -148,3 +148,23 @@ def test_multiscale_ensemble_gan_step():
     state, metrics = tr.train_step(state, gt, lr)
     assert np.isfinite(float(metrics["d_loss"]))
     assert np.isfinite(float(metrics["g_loss"]))
+
+
+def test_two_axis_mesh_step(eight_devices):
+    # batch sharded jointly over (replica, data); params replicated;
+    # jit inserts the cross-axis gradient reductions
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh((2, 4), ("replica", "data"), devices=eight_devices)
+    cfg = _tiny(get_config("rrdbnet"))
+    cfg = cfg.replace(g_kwargs={**cfg.g_kwargs, "num_blocks": 1})
+    tr = Trainer(cfg, steps_per_epoch=10)
+    gt_h = np.random.default_rng(9).uniform(size=(8, 16, 16, 3)).astype(np.float32)
+    lr_h = gt_h[:, ::4, ::4, :]
+    state = tr.init_state(jax.random.PRNGKey(9), lr_h.shape, gt_h.shape)
+    sharding = NamedSharding(mesh, P(("replica", "data")))
+    gt = jax.device_put(jnp.asarray(gt_h), sharding)
+    lr = jax.device_put(jnp.asarray(lr_h), sharding)
+    assert len(gt.sharding.device_set) == 8
+    state, metrics = tr.train_step(state, gt, lr)
+    assert np.isfinite(float(metrics["pixel_loss"]))
