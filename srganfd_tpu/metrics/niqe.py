@@ -177,3 +177,12 @@ def fit_niqe_model(images: list[np.ndarray]) -> NiqeModel:
         all_feats.append(_image_features(np.round(y)))
     feats = np.concatenate(all_feats, axis=0)
     return NiqeModel(np.nanmean(feats, axis=0), _nancov(feats))
+
+
+def niqe_from_mat(
+    image: np.ndarray, crop_border: int = 0, niqe_model_path: str = ""
+) -> float:
+    """Reference-signature convenience wrapper
+    (``ESRGAN/image_quality_assessment.py:301-344``): BGR [0,255] image +
+    pristine-model path -> NIQE score."""
+    return niqe(image, load_niqe_model(niqe_model_path), crop_border)
