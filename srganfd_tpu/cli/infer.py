@@ -48,10 +48,18 @@ def main() -> None:
         action="store_true",
         help="shard the image's H axis over all devices with ICI halo exchange",
     )
+    ap.add_argument(
+        "--half",
+        action="store_true",
+        help="bfloat16 compute (TPU analog of the reference's --half fp16; "
+        "slow on CPU where bf16 is software-emulated)",
+    )
     args = ap.parse_args()
 
     choice_device(args.device)
-    model = build_model(args.arch)
+    model = (
+        create_model(args.arch, dtype=jnp.bfloat16) if args.half else build_model(args.arch)
+    )
 
     img = load_image_rgb(args.inputs)
     x = jnp.asarray(img)[None]
