@@ -190,15 +190,17 @@ def run_train(
                 state, metrics = step_fn(state, batch["gt"], batch["lr"], batch["gt_pixel"])
             else:
                 state, metrics = step_fn(state, batch["gt"], batch["lr"])
-            g_key = "g_loss" if "g_loss" in metrics else "pixel_loss"
-            g_loss_m.update(float(metrics[g_key]))
-            batch_time.update(time.time() - end)
-            end = time.time()
+            # materialize metrics (a device sync) only at print frequency —
+            # pulling them every step would serialize host and device
             if i % cfg.train_print_frequency == 0:
+                g_key = "g_loss" if "g_loss" in metrics else "pixel_loss"
+                g_loss_m.update(float(metrics[g_key]))
+                batch_time.update(time.time() - end)
                 progress.display(i)
                 tracker.log_metrics(
                     {f"Train/{k}": float(v) for k, v in metrics.items()}, global_step
                 )
+            end = time.time()
             if save_every_steps and global_step and global_step % save_every_steps == 0:
                 ckpt.save_checkpoint(ckpt_dir, state, epoch, best, is_best=False, name="ckpt_step")
             global_step += 1
