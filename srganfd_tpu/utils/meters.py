@@ -53,7 +53,7 @@ class AverageMeter:
 
 class ProgressMeter:
     def __init__(self, num_batches: int, meters: list[AverageMeter], prefix: str = ""):
-        num_digits = len(str(num_batches // 1))
+        num_digits = len(str(num_batches))
         self.batch_fmtstr = "[" + ("{:" + str(num_digits) + "d}") + "/" + str(num_batches) + "]"
         self.meters = meters
         self.prefix = prefix
