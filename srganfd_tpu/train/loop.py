@@ -225,9 +225,15 @@ class Trainer:
             )
             return state, aux
 
-        def g_update(state: GanTrainState, gt_pixel: jax.Array, lr_img: jax.Array):
-            # one generator forward; losses pull back through the residuals
-            sr, g_vjp = jax.vjp(lambda p: self._g_apply(p, lr_img), state.g_params)
+        def g_fwd(state: GanTrainState, lr_img: jax.Array):
+            return jax.vjp(lambda p: self._g_apply(p, lr_img), state.g_params)
+
+        def g_update(state: GanTrainState, gt_pixel: jax.Array, lr_img: jax.Array, fwd=None):
+            # one generator forward; losses pull back through the residuals.
+            # ``fwd`` lets the D-first families reuse the forward they fed to
+            # the discriminator update (valid: the D update leaves g_params
+            # untouched, so the recomputation would be value-identical).
+            sr, g_vjp = fwd if fwd is not None else g_fwd(state, lr_img)
 
             def loss_wrt_sr(sr_in):
                 return g_losses(sr_in, gt_pixel, state.d_params, state.d_vars)
@@ -261,10 +267,11 @@ class Trainer:
             else:
                 # BSRGAN/A-ESRGAN: D update on old-G sr, then G update whose
                 # adversarial term sees the new D (train_bsrgan.py:406-471).
-                sr0 = jax.lax.stop_gradient(self._g_apply(state.g_params, lr_img))
-                state, d_aux = d_update(state, gt, sr0)
+                # One G forward total: the vjp forward feeds both updates.
+                fwd = g_fwd(state, lr_img)
+                state, d_aux = d_update(state, gt, jax.lax.stop_gradient(fwd[0]))
                 metrics.update(d_aux)
-                state, parts, _ = g_update(state, gt_pixel, lr_img)
+                state, parts, _ = g_update(state, gt_pixel, lr_img, fwd=fwd)
                 metrics.update(parts)
             return state, metrics
 
