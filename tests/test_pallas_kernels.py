@@ -23,6 +23,23 @@ def test_filter2d_pallas_matches_xla():
     np.testing.assert_allclose(got, want, atol=2e-6, rtol=1e-5)
 
 
+def test_filter2d_gemm_matches_depthwise():
+    rng = np.random.default_rng(1)
+    imgs = jnp.asarray(rng.uniform(size=(3, 24, 16, 3)).astype(np.float32))
+    ks = jnp.asarray(
+        np.stack(
+            [
+                kernels.fspecial_gaussian(7, 1.2),
+                kernels.anisotropic_gaussian(7, 0.4, 2.0, 1.0),
+                kernels.fspecial_gaussian(7, 0.6),
+            ]
+        ).astype(np.float32)
+    )
+    want = np.asarray(filters.filter2d(imgs, ks))
+    got = np.asarray(filters.filter2d_gemm(imgs, ks))
+    np.testing.assert_allclose(got, want, atol=2e-6, rtol=1e-5)
+
+
 def test_rdb_pallas_matches_flax_block():
     import jax
 
