@@ -66,7 +66,9 @@ def _rdb_kernel(x_ref, *refs, ch: int, gc: int, th: int, w: int, img_h: int):
         gr = j * th - margin + jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
         gcol = -margin + jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
         ok = (gr >= 0) & (gr < img_h) & (gcol >= 0) & (gcol < w)
-        return feat * ok[..., None].astype(feat.dtype)
+        # cast BEFORE adding the minor dim: Mosaic cannot reshape i1
+        # vectors ("insertion of minor dim ... only supported for 32-bit")
+        return feat * ok.astype(feat.dtype)[..., None]
 
     x = x_ref[0].astype(jnp.float32)
     widths = [ch, gc, gc, gc, gc]

@@ -35,7 +35,7 @@ def test_filter2d_gemm_matches_depthwise():
             ]
         ).astype(np.float32)
     )
-    want = np.asarray(filters.filter2d(imgs, ks))
+    want = np.asarray(filters.filter2d_depthwise(imgs, ks))
     got = np.asarray(filters.filter2d_gemm(imgs, ks))
     np.testing.assert_allclose(got, want, atol=2e-6, rtol=1e-5)
 

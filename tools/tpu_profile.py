@@ -128,16 +128,17 @@ def main() -> None:
         )
     )
     chain_time(
-        lambda x: filters.filter2d(x, blur), gt, it, f"filter2d 25x25 XLA depthwise ({s}px)"
+        lambda x: filters.filter2d_depthwise(x, blur),
+        gt,
+        it,
+        f"filter2d 25x25 XLA depthwise ({s}px)",
     )
-    try:
-        from srganfd_tpu.ops.filters import filter2d_gemm
-
-        chain_time(
-            lambda x: filter2d_gemm(x, blur), gt, it, f"filter2d 25x25 XLA banded-GEMM ({s}px)"
-        )
-    except ImportError:
-        pass
+    chain_time(
+        lambda x: filters.filter2d_gemm(x, blur),
+        gt,
+        it,
+        f"filter2d 25x25 XLA banded-GEMM ({s}px)",
+    )
     try:
         from srganfd_tpu.ops.pallas.filter2d import filter2d_pallas
 
@@ -149,25 +150,35 @@ def main() -> None:
 
     from srganfd_tpu.models.blocks import ResidualDenseBlock
 
-    block = ResidualDenseBlock(64, 32)
+    # bf16 like the in-model hot path (the f32 block is ~10x off-profile)
+    block = ResidualDenseBlock(64, 32, dtype=jnp.bfloat16)
     xb = jnp.asarray(rng.uniform(size=(b, 32, 32, 64)).astype(np.float32))
     params = block.init(jax.random.PRNGKey(0), xb)["params"]
     kerns = tuple(jnp.asarray(params[f"conv{k}_kernel"]) for k in range(5))
     biases = tuple(jnp.asarray(params[f"conv{k}_bias"]) for k in range(5))
     chain_time(
-        lambda z: block.apply({"params": params}, z),
+        lambda z: block.apply({"params": params}, z).astype(jnp.float32),
         xb,
         it,
-        f"RDB fwd XLA (batch {b}, 32px, 64/32ch)",
+        f"RDB fwd XLA bf16 (batch {b}, 32px, 64/32ch)",
+    )
+    block_lit = ResidualDenseBlock(64, 32, dtype=jnp.bfloat16, fused=False)
+    chain_time(
+        lambda z: block_lit.apply({"params": params}, z).astype(jnp.float32),
+        xb,
+        it,
+        f"RDB fwd XLA bf16 literal/unfused (batch {b}, 32px, 64/32ch)",
     )
     try:
         from srganfd_tpu.ops.pallas.rdb import rdb_forward_pallas
 
         chain_time(
-            lambda z: rdb_forward_pallas(z, kerns, biases, tile_h=32),
+            lambda z: rdb_forward_pallas(
+                z.astype(jnp.bfloat16), kerns, biases, tile_h=32
+            ).astype(jnp.float32),
             xb,
             it,
-            f"RDB fwd Pallas (batch {b}, 32px, 64/32ch)",
+            f"RDB fwd Pallas bf16-in (batch {b}, 32px, 64/32ch)",
         )
     except Exception as e:  # noqa: BLE001
         print(f"RDB Pallas FAILED: {e}", flush=True)
