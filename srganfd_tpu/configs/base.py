@@ -53,6 +53,11 @@ class ExperimentConfig:
     relativistic_gan: bool = False  # ESRGAN uses relativistic pairing
     g_step_first: bool = True  # ESRGAN/Real-ESRGAN: G first; BSRGAN: D first
     content_detach_bug: bool = False  # replicate BSRGAN-family detach bug
+    # one concatenated real|fake D forward in the D update (TPU batching
+    # win). Auto-disabled for discriminators with BatchNorm statistics;
+    # for SN-only Ds the sole divergence is one fewer power iteration per
+    # step (PARITY.md item 6). False = the reference's two forwards.
+    fuse_d_forwards: bool = True
 
     # optimizer / schedule
     epochs: int = 1

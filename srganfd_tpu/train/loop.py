@@ -197,10 +197,31 @@ class Trainer:
             parts["g_loss"] = total
             return total, parts
 
+        def _split_scales(out, n: int):
+            """Split a concatenated real|fake forward back into halves
+            (handles multi-scale tuple outputs)."""
+            if isinstance(out, tuple):
+                halves = [(o[:n], o[n:]) for o in out]
+                return tuple(h[0] for h in halves), tuple(h[1] for h in halves)
+            return out[:n], out[n:]
+
         def d_update(state: GanTrainState, gt: jax.Array, sr_detached: jax.Array):
+            # BatchNorm Ds (ESRGAN's VGG-128) must keep the reference's two
+            # forwards: fusing would pool real+fake batch statistics.
+            fuse = cfg.fuse_d_forwards and not (state.d_vars and "batch_stats" in state.d_vars)
+
             def d_loss_fn(d_params, d_vars):
-                gt_out, d_vars = self._d_apply(d_params, d_vars, gt, update_stats=True)
-                sr_out, d_vars = self._d_apply(d_params, d_vars, sr_detached, update_stats=True)
+                if fuse:
+                    both, d_vars = self._d_apply(
+                        d_params, d_vars, jnp.concatenate([gt, sr_detached], axis=0),
+                        update_stats=True,
+                    )
+                    gt_out, sr_out = _split_scales(both, gt.shape[0])
+                else:
+                    gt_out, d_vars = self._d_apply(d_params, d_vars, gt, update_stats=True)
+                    sr_out, d_vars = self._d_apply(
+                        d_params, d_vars, sr_detached, update_stats=True
+                    )
                 if cfg.relativistic_gan:
                     loss = relativistic_d_loss(gt_out, sr_out)
                 else:

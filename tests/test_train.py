@@ -75,6 +75,33 @@ def test_bsrgan_d_first_step_runs():
     assert not np.allclose(np.asarray(s0_spectral), np.asarray(s1_spectral))
 
 
+def test_fused_d_forward_matches_reference_split():
+    """The concatenated real|fake D forward must match the reference's two
+    separate forwards up to the one-fewer-power-iteration divergence
+    (PARITY.md item 6): same losses/grads to ~1e-4 after one step."""
+    cfg = _tiny(get_config("bsrgan"))
+    cfg = cfg.replace(
+        g_kwargs={**cfg.g_kwargs, "num_rrdb": 1},
+        content_weight=(),
+        gt_image_size=32,
+    )
+    gt, lr = _batch(np.random.default_rng(5), 2, 32, 2)
+    outs = {}
+    for fuse in (True, False):
+        tr = Trainer(cfg.replace(fuse_d_forwards=fuse), steps_per_epoch=10)
+        state = tr.init_state(jax.random.PRNGKey(5), lr.shape, gt.shape)
+        state, metrics = tr.train_step(state, gt, lr)
+        outs[fuse] = (metrics, state)
+    for k in ("d_loss", "g_loss", "d_gt_probability", "d_sr_probability"):
+        np.testing.assert_allclose(
+            float(outs[True][0][k]), float(outs[False][0][k]), rtol=2e-3, atol=2e-4
+        )
+    da = jax.tree_util.tree_leaves(outs[True][1].d_params)
+    db = jax.tree_util.tree_leaves(outs[False][1].d_params)
+    for a, b in zip(da, db):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-2, atol=5e-4)
+
+
 def test_ema_tracks_params():
     cfg = _tiny(get_config("rrdbnet"))
     cfg = cfg.replace(g_kwargs={**cfg.g_kwargs, "num_blocks": 1}, model_ema_decay=0.5)

@@ -48,15 +48,16 @@ def make(cfg_overrides, batch=BATCH, gt_size=GT):
     lr = jnp.asarray(
         rng.uniform(size=(batch, gt_size // 4, gt_size // 4, 3)).astype(np.float32)
     )
-    cfg = get_config("bsrgan").replace(
+    base = dict(
         upscale_factor=4,
         g_arch="bsrgan_x4",
         gt_image_size=gt_size,
         batch_size=batch,
         content_weight=(),
         compute_dtype="bfloat16",
-        **cfg_overrides,
     )
+    base.update(cfg_overrides)
+    cfg = get_config("bsrgan").replace(**base)
     trainer = Trainer(cfg, steps_per_epoch=1000)
     state = trainer.init_state(jax.random.PRNGKey(0), lr.shape, gt.shape)
     return trainer, state, gt, lr
@@ -75,15 +76,24 @@ def main() -> None:
 
     sys.path.insert(0, ".")
     which = set(sys.argv[1:]) or {
+        "calib",
         "baseline",
         "unrolled",
         "g_only",
         "d_cost",
         "batch32",
         "f32",
+        "content",
         "per_sample_order",
     }
     print(f"devices: {jax.devices()}", flush=True)
+
+    if "calib" in which:
+        # fori_loop per-iteration overhead floor (empty-ish body)
+        import jax.numpy as jnp
+
+        z = jnp.zeros((16, 32, 32, 64), jnp.float32)
+        chain_time(lambda x: x + 1.0, z, label="calib: fori_loop x+1 body")
 
     if "baseline" in which:
         trainer, state, gt, lr = make({"g_kwargs": {"scan_blocks": True}})
@@ -127,6 +137,19 @@ def main() -> None:
             {"g_kwargs": {"scan_blocks": True}, "compute_dtype": "float32"}
         )
         chain_time(step_body(trainer, gt, lr), state, label="GAN step f32 compute")
+
+    if "content" in which:
+        # full reference loss mix: multi-node VGG19 content loss included
+        # (deterministic-seeded weights — identical FLOPs to the real ones)
+        trainer, state, gt, lr = make(
+            {
+                "g_kwargs": {"scan_blocks": True},
+                "content_weight": (1.0,),
+            }
+        )
+        chain_time(
+            step_body(trainer, gt, lr), state, label="GAN step + VGG19 content loss"
+        )
 
     if "per_sample_order" in which:
         import jax.numpy as jnp
