@@ -99,6 +99,15 @@ def main() -> None:
         trainer, state, gt, lr = make({"g_kwargs": {"scan_blocks": True}})
         chain_time(step_body(trainer, gt, lr), state, label="GAN step scan trunk (baseline)")
 
+    if "fuse_ab" in which:
+        for fuse in (True, False):
+            trainer, state, gt, lr = make(
+                {"g_kwargs": {"scan_blocks": True}, "fuse_d_forwards": fuse}
+            )
+            chain_time(
+                step_body(trainer, gt, lr), state, label=f"GAN step fuse_d_forwards={fuse}"
+            )
+
     if "unrolled" in which:
         trainer, state, gt, lr = make({"g_kwargs": {}})
         chain_time(step_body(trainer, gt, lr), state, label="GAN step unrolled trunk")
