@@ -26,15 +26,33 @@ FAMILIES = {
 }
 
 
-def chain_time(body, x0, iters=10):
-    import jax
-    from jax import lax
-
-    f = jax.jit(lambda x: lax.fori_loop(0, iters, lambda i, v: body(v), x))
-    jax.block_until_ready(f(x0))
+def timed_loop(step, x0, fetch, iters=20):
+    """bench.py-style timing: a python loop over a DONATED carry->carry
+    step, closed by fetching real bytes. The axon tunnel memoizes repeated
+    identical (executable, args) pairs and can ack block_until_ready
+    before remote completion, so chained donation + a byte fetch is the
+    only trustworthy scheme (matches bench.py within noise)."""
+    x = step(x0)
+    fetch(x)
     t0 = time.perf_counter()
-    jax.block_until_ready(f(x0))
+    for _ in range(iters):
+        x = step(x)
+    fetch(x)
     return (time.perf_counter() - t0) / iters
+
+
+def chain_time(body, x0, iters=10):
+    """Loop-carried timing: wrap ``body`` as a donated carry step."""
+    import jax
+    import numpy as np_
+
+    f = jax.jit(body, donate_argnums=0)
+
+    def fetch(x):
+        leaf = jax.tree_util.tree_leaves(x)[0]
+        return np_.asarray(leaf[(0,) * leaf.ndim])
+
+    return timed_loop(f, x0, fetch, iters)
 
 
 def emit(record: dict) -> None:
