@@ -29,7 +29,12 @@ _MARGIN = 5  # five chained 3x3 convs consume one halo pixel each
 
 
 def _conv3x3_valid(src: jax.Array, kern: jax.Array) -> jax.Array:
-    """Valid 3x3 conv on an (H, W, Cin) tile: 9 shifted matmuls (MXU)."""
+    """Valid 3x3 conv on an (H, W, Cin) tile: 9 shifted matmuls (MXU).
+
+    Operands keep ``src``'s dtype (bf16 on the model's hot path — the
+    f32 matmul path runs at a fraction of MXU rate); accumulation is f32
+    via ``preferred_element_type``.
+    """
     h, w, _ = src.shape
     oh, ow = h - 2, w - 2
     acc = None
@@ -38,7 +43,7 @@ def _conv3x3_valid(src: jax.Array, kern: jax.Array) -> jax.Array:
             window = src[dy : dy + oh, dx : dx + ow, :]
             part = jax.lax.dot_general(
                 window.reshape(oh * ow, -1),
-                kern[dy, dx],
+                kern[dy, dx].astype(src.dtype),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -70,7 +75,8 @@ def _rdb_kernel(x_ref, *refs, ch: int, gc: int, th: int, w: int, img_h: int):
         # vectors ("insertion of minor dim ... only supported for 32-bit")
         return feat * ok.astype(feat.dtype)[..., None]
 
-    x = x_ref[0].astype(jnp.float32)
+    cdt = x_ref.dtype  # matmul operand dtype (bf16 on the hot path)
+    x = x_ref[0]
     widths = [ch, gc, gc, gc, gc]
     offsets = [0, ch, ch + gc, ch + 2 * gc, ch + 3 * gc]
     splits = [gc, gc, gc, gc, ch]
@@ -83,7 +89,7 @@ def _rdb_kernel(x_ref, *refs, ch: int, gc: int, th: int, w: int, img_h: int):
             kern_refs[k][:, :, offsets[source_idx] : offsets[source_idx] + widths[source_idx], :]
             for k in range(first, 5)
         ]
-        wide = jnp.concatenate([p.astype(jnp.float32) for p in parts], axis=3)
+        wide = jnp.concatenate([p.astype(cdt) for p in parts], axis=3)
         y = _conv3x3_valid(inp, wide)
         out = [None] * 5
         start = 0
@@ -98,14 +104,14 @@ def _rdb_kernel(x_ref, *refs, ch: int, gc: int, th: int, w: int, img_h: int):
         margin_k = 4 - k  # remaining margin of acc[k]
         y = acc[k] + bias_refs[k][:].astype(jnp.float32)
         out_k = mask_outside_image(_lrelu(y), margin_k)
-        contrib = contributions(k + 1, out_k)
+        contrib = contributions(k + 1, out_k.astype(cdt))
         for t in range(k + 1, 5):
             # trim acc[t] (margin 4-k) to the new margin (4-k-1) before add
             trim = 1
             a = acc[t]
             acc[t] = a[trim:-trim, trim:-trim, :] + contrib[t]
     out5 = acc[4] + bias_refs[4][:].astype(jnp.float32)
-    center = x[_MARGIN : _MARGIN + th, _MARGIN : _MARGIN + w, :]
+    center = x[_MARGIN : _MARGIN + th, _MARGIN : _MARGIN + w, :].astype(jnp.float32)
     out_ref[0] = (out5 * 0.2 + center).astype(out_ref.dtype)
 
 

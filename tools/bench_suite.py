@@ -97,12 +97,17 @@ def bench_family(name: str) -> None:
         trainer = Trainer(cfg, steps_per_epoch=1000)
         state = trainer.init_state(jax.random.PRNGKey(0), lr.shape, gt.shape)
 
-    def body(st):
+    # use the trainer's own donated jitted step directly — wrapping it in
+    # an outer jit would force a second multi-minute remote compile
+    def step(st):
         st2, _ = trainer.train_step(st, gt, lr)
         return st2
 
+    def fetch(st):
+        return np.asarray(st.step)
+
     try:
-        t = chain_time(body, state)
+        t = timed_loop(step, state, fetch)
         emit(
             {
                 "metric": f"{name} GAN/train step (batch {batch}, {gt_size}px GT, x{up})",
