@@ -22,7 +22,9 @@ FAMILIES = {
     "esrgan": (None, 128, 16, 4),
     "bsrgan": ("bsrgan_x4", 128, 16, 4),
     "realesrgan": (None, 256, 12, 4),
-    "aesrgan": (None, 240, 16, 2),
+    # BSRGANtrans token attention is O((HW)^2): the reference trains at
+    # gt 120 / batch 8 (aesrgan_config.py:101-102) — larger crops OOM
+    "aesrgan": (None, 120, 8, 2),
 }
 
 
