@@ -1,0 +1,101 @@
+"""Profile the CLI training pipeline phase by phase on the real TPU.
+
+Replicates run_train's inner loop (loader -> DegradationAdapter -> jitted
+step) with timers around each phase to find what serializes the ~2 s/step
+observed in the end-to-end soak vs the ~0.15 s the device work costs.
+
+    PYTHONPATH=/root/.axon_site:/root/repo python tools/pipeline_profile.py \
+        --train-dir /tmp/soak_data/train --steps 30
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--train-dir", required=True)
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--config", default="bsrgan")
+    args = ap.parse_args()
+    sys.path.insert(0, ".")
+
+    import jax
+
+    from srganfd_tpu import configs
+    from srganfd_tpu.cli.degrade_adapter import DegradationAdapter
+    from srganfd_tpu.cli.train import build_datasets
+    from srganfd_tpu.train.loop import Trainer
+
+    cfg = configs.get_config(args.config, train_gt_images_dir=args.train_dir,
+                             valid_gt_images_dir=args.train_dir)
+    print(f"devices: {jax.devices()}  crop {cfg.crop_image_size} gt {cfg.gt_image_size} "
+          f"batch {cfg.batch_size}", flush=True)
+    train_ds, _ = build_datasets(cfg)
+
+    from srganfd_tpu.data import native_loader
+
+    if native_loader.available():
+        loader = native_loader.NativeBatchLoader(
+            train_ds.paths,
+            crop=cfg.crop_image_size or cfg.gt_image_size,
+            batch_size=cfg.batch_size,
+            seed=cfg.seed,
+            num_threads=max(cfg.num_workers, 2),
+        )
+        print("native loader", flush=True)
+    else:
+        from srganfd_tpu.data.datasets import BatchLoader
+
+        loader = BatchLoader(train_ds, cfg.batch_size, shuffle=True, seed=cfg.seed,
+                             num_workers=cfg.num_workers)
+
+    trainer = Trainer(cfg, steps_per_epoch=1000)
+    adapter = DegradationAdapter(cfg, seed=cfg.seed, train=True)
+    lr_size = cfg.gt_image_size // cfg.upscale_factor
+    state = trainer.init_state(
+        jax.random.PRNGKey(0),
+        (cfg.batch_size, lr_size, lr_size, 3),
+        (cfg.batch_size, cfg.gt_image_size, cfg.gt_image_size, 3),
+    )
+    step_fn = trainer.train_step
+
+    it = iter(loader)
+    phases = {"loader": 0.0, "adapter": 0.0, "step_dispatch": 0.0, "sync": 0.0}
+    n = 0
+    t_all0 = time.perf_counter()
+    warmup = 12  # cover degradation plan variants + step compile
+    for i in range(args.steps + warmup):
+        if i == warmup:
+            jax.block_until_ready(jax.tree_util.tree_leaves(state.g_params)[0])
+            for k in phases:
+                phases[k] = 0.0
+            n = 0
+            t_all0 = time.perf_counter()
+        t0 = time.perf_counter()
+        host_batch = next(it)
+        t1 = time.perf_counter()
+        batch = adapter(host_batch, i)
+        t2 = time.perf_counter()
+        state, metrics = step_fn(state, batch["gt"], batch["lr"])
+        t3 = time.perf_counter()
+        phases["loader"] += t1 - t0
+        phases["adapter"] += t2 - t1
+        phases["step_dispatch"] += t3 - t2
+        n += 1
+    t_sync0 = time.perf_counter()
+    jax.block_until_ready(jax.tree_util.tree_leaves(state.g_params)[0])
+    phases["sync"] = time.perf_counter() - t_sync0
+    total = time.perf_counter() - t_all0
+    print(f"steps timed: {n}; wall {total:.2f}s -> {total / n * 1e3:.1f} ms/step", flush=True)
+    for k, v in phases.items():
+        per = v / n if k != "sync" else v
+        print(f"  {k:>14}: {v:.2f}s total  ({per * 1e3:.1f} ms{'/step' if k != 'sync' else ' once'})",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
