@@ -44,15 +44,20 @@ class DegradationAdapter:
 
     def __call__(self, host_batch: dict[str, np.ndarray], step: int) -> dict[str, Any]:
         cfg = self.cfg
-        gt = jnp.asarray(host_batch["gt"])
-        n = gt.shape[0]
+        n = int(np.shape(host_batch["gt"])[0])
         if cfg.degradation == "paired":
-            return {"gt": gt, "lr": jnp.asarray(host_batch["lr"])}
+            return {
+                "gt": jnp.asarray(host_batch["gt"]),
+                "lr": jnp.asarray(host_batch["lr"]),
+            }
 
         if cfg.degradation == "bicubic":
+            gt = jnp.asarray(host_batch["gt"])
             return {"gt": gt, "lr": self._bicubic(gt)}
 
         if cfg.degradation == "bsrgan":
+            from srganfd_tpu.ops.degrade import apply_bsrgan_batch_cropped, bsrgan_lr_size
+
             plan = plan_bsrgan_batch(
                 self.rng,
                 n,
@@ -61,27 +66,29 @@ class DegradationAdapter:
                 scale2_prob=cfg.degradation_params.get("scale2_prob", 0.25),
                 per_sample_order=cfg.degradation_params.get("per_sample_order", False),
             )
-            lr_full = apply_bsrgan_batch(gt, plan)
             if not self.train:
-                return {"gt": gt, "lr": lr_full}
-            # aligned random crop gt_image_size (BSRGAN/imgproc.py:846-886).
+                gt = jnp.asarray(host_batch["gt"])
+                return {"gt": gt, "lr": apply_bsrgan_batch(gt, plan)}
+            # aligned random crop gt_image_size (BSRGAN/imgproc.py:846-886)
+            # fused into the chain's program: one dispatch per step.
             # GT stays at full scale even when the chain's scale2 branch
             # pre-halved internally: the reference reassigns the chain's
             # local sf to 2 but crops gt/lr with the CONFIG's upscale
             # factor (train_bsrgan.py:399), so the trained pair is always
             # gt_image_size : gt_image_size/upscale_factor.
             sf = cfg.upscale_factor
-            lr_limit_h = lr_full.shape[1] - cfg.gt_image_size // sf
-            lr_limit_w = lr_full.shape[2] - cfg.gt_image_size // sf
-            tops = jnp.asarray(self.rng.integers(0, lr_limit_h + 1, n))
-            lefts = jnp.asarray(self.rng.integers(0, lr_limit_w + 1, n))
-            gt_c, lr_c = augment.paired_random_crop(
-                gt, lr_full, tops, lefts, cfg.gt_image_size, sf
+            lr_edge = bsrgan_lr_size(int(np.shape(host_batch["gt"])[1]), plan)
+            lr_limit = lr_edge - cfg.gt_image_size // sf
+            tops = self.rng.integers(0, lr_limit + 1, n)
+            lefts = self.rng.integers(0, lr_limit + 1, n)
+            gt_c, lr_c = apply_bsrgan_batch_cropped(
+                host_batch["gt"], plan, tops, lefts, cfg.gt_image_size, sf
             )
             return {"gt": gt_c, "lr": lr_c}
 
         if cfg.degradation == "realesrgan":
             p = cfg.degradation_params["process"]
+            gt = jnp.asarray(host_batch["gt"])
             gt_usm = usm_sharp(gt)
             plan = plan_realesrgan_batch(
                 self.rng, n, (gt.shape[1], gt.shape[2]), cfg.upscale_factor, p

@@ -213,6 +213,105 @@ def apply_bsrgan_batch(images: jax.Array, plan: BsrganPlan) -> jax.Array:
     )
 
 
+def bsrgan_lr_size(h: int, plan: BsrganPlan) -> int:
+    """Host-side prediction of the chain's LR edge for an H-px square GT
+    (mirrors ``_apply_chain``'s sizes: optional pre-halve, then
+    1/effective_upscale MATLAB resize with ceil rounding)."""
+    hp = (h + 1) // 2 if plan.scale2 else h
+    return -(-hp // plan.effective_upscale)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "jpeg_pos",
+        "per_sample_order",
+        "scale2",
+        "scale2_interp",
+        "effective_upscale",
+        "gt_size",
+        "crop_upscale",
+    ),
+)
+def _apply_chain_cropped(
+    images,
+    kernels_a,
+    kernels_b,
+    jpeg_quality,
+    jpeg_apply,
+    final_jpeg_quality,
+    jpeg_pos_arr,
+    tops,
+    lefts,
+    jpeg_pos,
+    per_sample_order,
+    scale2,
+    scale2_interp,
+    effective_upscale,
+    gt_size,
+    crop_upscale,
+):
+    from srganfd_tpu.ops import augment
+
+    lr = _apply_chain(
+        images,
+        kernels_a,
+        kernels_b,
+        jpeg_quality,
+        jpeg_apply,
+        final_jpeg_quality,
+        jpeg_pos_arr,
+        jpeg_pos,
+        per_sample_order,
+        scale2,
+        scale2_interp,
+        effective_upscale,
+    )
+    return augment.paired_random_crop(images, lr, tops, lefts, gt_size, crop_upscale)
+
+
+def apply_bsrgan_batch_cropped(
+    images,
+    plan: BsrganPlan,
+    tops: np.ndarray,
+    lefts: np.ndarray,
+    gt_size: int,
+    upscale_factor: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Chain + aligned (gt, lr) random crop as ONE jitted program.
+
+    One device dispatch instead of three (H2D + chain + crop): through a
+    remote-execution tunnel each dispatch costs host CPU that starves the
+    data-loader threads on few-core hosts (tools/pipeline_profile.py).
+    ``tops``/``lefts`` are (N,) LR-space offsets in
+    ``[0, bsrgan_lr_size(H, plan) - gt_size // upscale_factor]``.
+    """
+    per_sample = not isinstance(plan.jpeg_pos, int)
+    pos_arr = (
+        jnp.asarray(plan.jpeg_pos)
+        if per_sample
+        else jnp.zeros((np.shape(images)[0],), jnp.int32)
+    )
+    return _apply_chain_cropped(
+        images,
+        jnp.asarray(plan.kernels_a),
+        jnp.asarray(plan.kernels_b),
+        jnp.asarray(plan.jpeg_quality),
+        jnp.asarray(plan.jpeg_apply),
+        jnp.asarray(plan.final_jpeg_quality),
+        pos_arr,
+        jnp.asarray(tops),
+        jnp.asarray(lefts),
+        plan.jpeg_pos if not per_sample else 0,
+        per_sample,
+        plan.scale2,
+        plan.scale2_interp,
+        plan.effective_upscale,
+        gt_size,
+        upscale_factor,
+    )
+
+
 def bsrgan_degradation(
     images: jax.Array,
     rng: np.random.Generator,
