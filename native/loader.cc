@@ -29,6 +29,7 @@
 #include <random>
 #include <string>
 #include <thread>
+#include <type_traits>
 #include <vector>
 
 namespace {
@@ -111,11 +112,13 @@ bool decode_file(const std::string& path, Image* out) {
 
 // ------------------------------------------------------------- transform
 
-// Random square crop + optional rot90/flips into float32 [0,1] CHW-last
-// (H, W, 3), mirroring imgproc random_crop/random_rotate/flips
-// (ESRGAN/imgproc.py:465-575 semantics).
+// Random square crop + optional rot90/flips into (H, W, 3), mirroring
+// imgproc random_crop/random_rotate/flips (ESRGAN/imgproc.py:465-575
+// semantics). T=float emits [0,1]; T=uint8_t emits raw bytes (the /255
+// then happens on-device — 4x less host->device transfer).
+template <typename T>
 void crop_augment(const Image& img, int crop, bool train, std::mt19937& rng,
-                  float* dst) {
+                  T* dst) {
   // reflect-extend on the fly if the image is smaller than the crop
   auto reflect = [](int v, int n) {
     if (n == 1) return 0;
@@ -159,10 +162,16 @@ void crop_augment(const Image& img, int crop, bool train, std::mt19937& rng,
       int iy = reflect(top + sy, img.h);
       int ix = reflect(left + sx, img.w);
       const uint8_t* p = img.rgb.data() + (size_t(iy) * img.w + ix) * 3;
-      float* d = dst + (size_t(y) * crop + x) * 3;
-      d[0] = p[0] * inv;
-      d[1] = p[1] * inv;
-      d[2] = p[2] * inv;
+      T* d = dst + (size_t(y) * crop + x) * 3;
+      if constexpr (std::is_same_v<T, float>) {
+        d[0] = p[0] * inv;
+        d[1] = p[1] * inv;
+        d[2] = p[2] * inv;
+      } else {
+        d[0] = p[0];
+        d[1] = p[1];
+        d[2] = p[2];
+      }
     }
   }
 }
@@ -176,7 +185,7 @@ struct Loader {
   uint64_t seed;
 
   std::vector<std::thread> workers;
-  std::queue<std::vector<float>> ready;
+  std::queue<std::vector<uint8_t>> ready;  // raw bytes (float or uint8 batches)
   std::mutex mu;
   std::condition_variable cv_ready, cv_space;
   std::atomic<bool> stop{false};
@@ -211,15 +220,19 @@ struct Loader {
     return img;
   }
 
+  bool u8 = false;  // emit uint8 batches (device-side /255)
+
   void worker_loop() {
-    const size_t batch_floats = size_t(batch) * crop * crop * 3;
+    const size_t batch_elems = size_t(batch) * crop * crop * 3;
+    const size_t batch_bytes = batch_elems * (u8 ? 1 : sizeof(float));
     // per-worker cached epoch permutation (rebuilding it per sample would
     // be O(dataset^2) per batch on large datasets)
     uint64_t cached_epoch = ~0ull;
     std::vector<uint32_t> order(paths.size());
     while (!stop.load()) {
       uint64_t b = batch_counter.fetch_add(1);
-      std::vector<float> buf(batch_floats);
+      std::vector<uint8_t> buf(batch_bytes);
+      const size_t sample_elems = size_t(crop) * crop * 3;
       for (int i = 0; i < batch; ++i) {
         std::mt19937 rng(uint32_t(seed ^ (b * 9973 + i) * 2654435761u));
         // epoch-shuffled index stream, seeded like the python loader
@@ -235,11 +248,18 @@ struct Loader {
         size_t idx = order[(b * batch + i) % paths.size()];
         std::shared_ptr<const Image> img = get_image(idx);
         if (!img) {
-          std::memset(buf.data() + size_t(i) * crop * crop * 3, 0,
-                      sizeof(float) * crop * crop * 3);
+          std::memset(buf.data() + size_t(i) * sample_elems * (u8 ? 1 : 4), 0,
+                      sample_elems * (u8 ? 1 : 4));
           continue;
         }
-        crop_augment(*img, crop, train, rng, buf.data() + size_t(i) * crop * crop * 3);
+        if (u8) {
+          crop_augment<uint8_t>(*img, crop, train, rng,
+                                buf.data() + size_t(i) * sample_elems);
+        } else {
+          crop_augment<float>(
+              *img, crop, train, rng,
+              reinterpret_cast<float*>(buf.data()) + size_t(i) * sample_elems);
+        }
       }
       std::unique_lock<std::mutex> lk(mu);
       cv_space.wait(lk, [&] { return ready.size() < max_queue || stop.load(); });
@@ -254,15 +274,15 @@ struct Loader {
       workers.emplace_back([this] { worker_loop(); });
   }
 
-  bool next(float* out) {
+  bool next(void* out) {
     std::unique_lock<std::mutex> lk(mu);
     cv_ready.wait(lk, [&] { return !ready.empty() || stop.load(); });
     if (ready.empty()) return false;
-    std::vector<float> buf = std::move(ready.front());
+    std::vector<uint8_t> buf = std::move(ready.front());
     ready.pop();
     cv_space.notify_one();
     lk.unlock();
-    std::memcpy(out, buf.data(), buf.size() * sizeof(float));
+    std::memcpy(out, buf.data(), buf.size());
     return true;
   }
 
@@ -281,6 +301,11 @@ extern "C" {
 
 void* loader_create(const char** paths, int n_paths, int crop, int batch,
                     uint64_t seed, int n_threads, int train) {
+  return nullptr;  // replaced by loader_create2 (kept for ABI stability)
+}
+
+void* loader_create2(const char** paths, int n_paths, int crop, int batch,
+                     uint64_t seed, int n_threads, int train, int out_u8) {
   auto* l = new Loader();
   l->paths.assign(paths, paths + n_paths);
   l->crop = crop;
@@ -288,6 +313,7 @@ void* loader_create(const char** paths, int n_paths, int crop, int batch,
   l->seed = seed;
   l->threads = n_threads > 0 ? n_threads : 4;
   l->train = train != 0;
+  l->u8 = out_u8 != 0;
   const char* mb = std::getenv("SRGANFD_LOADER_CACHE_MB");
   size_t budget_mb = mb ? size_t(std::strtoull(mb, nullptr, 10)) : 2048;
   l->cache_budget = budget_mb << 20;
@@ -296,7 +322,7 @@ void* loader_create(const char** paths, int n_paths, int crop, int batch,
   return l;
 }
 
-int loader_next(void* handle, float* out) {
+int loader_next(void* handle, void* out) {
   return static_cast<Loader*>(handle)->next(out) ? 1 : 0;
 }
 

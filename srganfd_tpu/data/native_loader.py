@@ -37,8 +37,8 @@ def _load(build_if_missing: bool = True):
     if not _LIB_PATH.exists():
         return None
     lib = ctypes.CDLL(str(_LIB_PATH))
-    lib.loader_create.restype = ctypes.c_void_p
-    lib.loader_create.argtypes = [
+    lib.loader_create2.restype = ctypes.c_void_p
+    lib.loader_create2.argtypes = [
         ctypes.POINTER(ctypes.c_char_p),
         ctypes.c_int,
         ctypes.c_int,
@@ -46,9 +46,10 @@ def _load(build_if_missing: bool = True):
         ctypes.c_uint64,
         ctypes.c_int,
         ctypes.c_int,
+        ctypes.c_int,
     ]
     lib.loader_next.restype = ctypes.c_int
-    lib.loader_next.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
+    lib.loader_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
     lib.loader_destroy.argtypes = [ctypes.c_void_p]
     lib.decode_image.restype = ctypes.c_int
     lib.decode_image.argtypes = [
@@ -79,25 +80,32 @@ class NativeBatchLoader:
         seed: int = 0,
         num_threads: int = 4,
         train: bool = True,
+        uint8: bool = False,
     ) -> None:
+        """``uint8=True`` yields raw byte batches (the /255 then happens
+        on-device inside the degradation program) — 4x less host->device
+        transfer, which matters through remote-execution tunnels."""
         lib = _load()
         if lib is None:
             raise RuntimeError("native loader unavailable (build native/build.sh)")
         self._lib = lib
         self.crop = crop
         self.batch_size = batch_size
+        self.uint8 = uint8
         arr = (ctypes.c_char_p * len(image_paths))(
             *[p.encode() for p in image_paths]
         )
-        self._handle = lib.loader_create(
-            arr, len(image_paths), crop, batch_size, seed, num_threads, int(train)
+        self._handle = lib.loader_create2(
+            arr, len(image_paths), crop, batch_size, seed, num_threads, int(train),
+            int(uint8),
         )
-        self._buf = np.empty((batch_size, crop, crop, 3), np.float32)
+        dtype = np.uint8 if uint8 else np.float32
+        self._buf = np.empty((batch_size, crop, crop, 3), dtype)
 
     def __iter__(self) -> Iterator[dict]:
         while True:
             ok = self._lib.loader_next(
-                self._handle, self._buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+                self._handle, self._buf.ctypes.data_as(ctypes.c_void_p)
             )
             if not ok:
                 return

@@ -151,6 +151,8 @@ def _apply_chain(
     effective_upscale: int,
 ) -> jax.Array:
     x = images.astype(jnp.float32)
+    if np.issubdtype(np.dtype(images.dtype), np.integer):
+        x = x / 255.0  # uint8 transport: normalization folded on-device
     if scale2:
         h, w = x.shape[1], x.shape[2]
         if scale2_interp == 0:
@@ -253,8 +255,11 @@ def _apply_chain_cropped(
 ):
     from srganfd_tpu.ops import augment
 
+    gt = images.astype(jnp.float32)
+    if np.issubdtype(np.dtype(images.dtype), np.integer):
+        gt = gt / 255.0  # uint8 transport: normalization folded on-device
     lr = _apply_chain(
-        images,
+        gt,
         kernels_a,
         kernels_b,
         jpeg_quality,
@@ -267,7 +272,7 @@ def _apply_chain_cropped(
         scale2_interp,
         effective_upscale,
     )
-    return augment.paired_random_crop(images, lr, tops, lefts, gt_size, crop_upscale)
+    return augment.paired_random_crop(gt, lr, tops, lefts, gt_size, crop_upscale)
 
 
 def apply_bsrgan_batch_cropped(

@@ -57,3 +57,35 @@ def test_batch_production(image_dir, lib_available):
     assert 0.0 <= b1["gt"].min() and b1["gt"].max() <= 1.0
     assert not np.array_equal(b1["gt"], b2["gt"])
     ld.close()
+
+
+def test_uint8_batches_match_float_batches(image_dir, lib_available):
+    """uint8 transport must be the same pixels as the float path (x255)."""
+    import glob
+
+    paths = sorted(glob.glob(os.path.join(image_dir, "*.png")))
+    kw = dict(crop=48, batch_size=2, seed=7, num_threads=1, train=True)
+    a = iter(native_loader.NativeBatchLoader(paths, **kw))
+    b = iter(native_loader.NativeBatchLoader(paths, uint8=True, **kw))
+    for _ in range(3):
+        fa = next(a)["gt"]
+        fb = next(b)["gt"]
+        assert fb.dtype == np.uint8
+        np.testing.assert_allclose(fa, fb.astype(np.float32) / 255.0, atol=1e-6)
+
+
+def test_fused_crop_uint8_matches_float():
+    """apply_bsrgan_batch_cropped over uint8 == over f32/255 bit-for-bit."""
+    from srganfd_tpu.ops.degrade import apply_bsrgan_batch_cropped, plan_bsrgan_batch
+
+    rng = np.random.default_rng(3)
+    raw = rng.integers(0, 256, (2, 64, 64, 3)).astype(np.uint8)
+    plan = plan_bsrgan_batch(rng, 2, 4)
+    tops = np.array([1, 2])
+    lefts = np.array([0, 3])
+    gt_u, lr_u = apply_bsrgan_batch_cropped(raw, plan, tops, lefts, 32, 4)
+    gt_f, lr_f = apply_bsrgan_batch_cropped(
+        raw.astype(np.float32) / 255.0, plan, tops, lefts, 32, 4
+    )
+    np.testing.assert_allclose(np.asarray(gt_u), np.asarray(gt_f), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lr_u), np.asarray(lr_f), atol=1e-6)
