@@ -45,6 +45,7 @@ def main() -> None:
             batch_size=cfg.batch_size,
             seed=cfg.seed,
             num_threads=max(cfg.num_workers, 2),
+            uint8=cfg.degradation == "bsrgan",  # mirror run_train
         )
         print("native loader", flush=True)
     else:
