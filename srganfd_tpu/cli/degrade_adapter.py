@@ -87,35 +87,52 @@ class DegradationAdapter:
             return {"gt": gt_c, "lr": lr_c}
 
         if cfg.degradation == "realesrgan":
+            from srganfd_tpu.ops.realesrgan_degrade import apply_realesrgan_train_batch
+
             p = cfg.degradation_params["process"]
-            gt = jnp.asarray(host_batch["gt"])
-            gt_usm = usm_sharp(gt)
+            gt_shape = np.shape(host_batch["gt"])
             plan = plan_realesrgan_batch(
-                self.rng, n, (gt.shape[1], gt.shape[2]), cfg.upscale_factor, p
+                self.rng, n, (gt_shape[1], gt_shape[2]), cfg.upscale_factor, p
             )
             key = jax.random.PRNGKey(int(self.rng.integers(0, 2**31)))
-            lr = apply_realesrgan_batch(
-                gt_usm,
+            if not self.train:
+                gt = jnp.asarray(host_batch["gt"])
+                gt_usm = usm_sharp(gt)
+                lr = apply_realesrgan_batch(
+                    gt_usm,
+                    jnp.asarray(host_batch["kernel1"]),
+                    jnp.asarray(host_batch["kernel2"]),
+                    jnp.asarray(host_batch["sinc_kernel"]),
+                    key,
+                    plan,
+                )
+                return {"gt": gt, "gt_pixel": gt_usm, "lr": lr}
+            # USM + chain + aligned crops + paired flips: one dispatch
+            # (rng draw ORDER matches the unfused path: plan, key, tops,
+            # lefts, hf, vf, rot — seed determinism preserved)
+            sf = cfg.upscale_factor
+            lr_limit_h = plan.final_size[0] - cfg.gt_image_size // sf
+            lr_limit_w = plan.final_size[1] - cfg.gt_image_size // sf
+            tops = self.rng.integers(0, max(lr_limit_h, 0) + 1, n)
+            lefts = self.rng.integers(0, max(lr_limit_w, 0) + 1, n)
+            hf = (self.rng.random(n) < 0.5).astype(np.float32)
+            vf = (self.rng.random(n) < 0.5).astype(np.float32)
+            rot = (self.rng.random(n) < 0.5).astype(np.float32)
+            gt_c, usm_c, lr_c = apply_realesrgan_train_batch(
+                host_batch["gt"],
                 jnp.asarray(host_batch["kernel1"]),
                 jnp.asarray(host_batch["kernel2"]),
                 jnp.asarray(host_batch["sinc_kernel"]),
                 key,
                 plan,
+                tops,
+                lefts,
+                hf,
+                vf,
+                rot,
+                cfg.gt_image_size,
+                sf,
             )
-            if not self.train:
-                return {"gt": gt, "gt_pixel": gt_usm, "lr": lr}
-            sf = cfg.upscale_factor
-            lr_limit_h = lr.shape[1] - cfg.gt_image_size // sf
-            lr_limit_w = lr.shape[2] - cfg.gt_image_size // sf
-            tops = jnp.asarray(self.rng.integers(0, max(lr_limit_h, 0) + 1, n))
-            lefts = jnp.asarray(self.rng.integers(0, max(lr_limit_w, 0) + 1, n))
-            gt_c, lr_c = augment.paired_random_crop(gt, lr, tops, lefts, cfg.gt_image_size, sf)
-            usm_c, _ = augment.paired_random_crop(gt_usm, lr, tops, lefts, cfg.gt_image_size, sf)
-            hf = jnp.asarray((self.rng.random(n) < 0.5).astype(np.float32))
-            vf = jnp.asarray((self.rng.random(n) < 0.5).astype(np.float32))
-            rot = jnp.asarray((self.rng.random(n) < 0.5).astype(np.float32))
-            usm_c, _ = augment.paired_flip_rotate(usm_c, lr_c, hf, vf, rot)
-            gt_c, lr_c = augment.paired_flip_rotate(gt_c, lr_c, hf, vf, rot)
             return {"gt": gt_c, "gt_pixel": usm_c, "lr": lr_c}
 
         raise ValueError(f"unknown degradation {cfg.degradation!r}")

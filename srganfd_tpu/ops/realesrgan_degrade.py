@@ -312,3 +312,141 @@ def usm_sharp(
     soft_mask = filters.gaussian_blur(mask, k2d)
     sharp = jnp.clip(images + weight * residual, 0.0, 1.0)
     return soft_mask * sharp + (1.0 - soft_mask) * images
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "size1",
+        "interp1",
+        "size2",
+        "interp2",
+        "final_size",
+        "final_interp",
+        "second_blur",
+        "jpeg_first_in_stage2",
+        "gt_size",
+        "crop_upscale",
+    ),
+)
+def _apply_train(
+    gt_raw,
+    k1,
+    k2,
+    sinc,
+    key,
+    tops,
+    lefts,
+    hflips,
+    vflips,
+    rots,
+    size1,
+    interp1,
+    size2,
+    interp2,
+    final_size,
+    final_interp,
+    second_blur,
+    jpeg_first_in_stage2,
+    noise1_sigma,
+    noise1_poisson_scale,
+    noise1_is_poisson,
+    noise1_gray,
+    jpeg1_quality,
+    noise2_sigma,
+    noise2_poisson_scale,
+    noise2_is_poisson,
+    noise2_gray,
+    jpeg2_quality,
+    gt_size,
+    crop_upscale,
+):
+    from srganfd_tpu.ops import augment
+
+    gt = gt_raw.astype(jnp.float32)
+    if np.issubdtype(np.dtype(gt_raw.dtype), np.integer):
+        gt = gt / 255.0  # uint8 transport: normalization folded on-device
+    gt_usm = usm_sharp(gt)
+    lr = _apply(
+        gt_usm,
+        k1,
+        k2,
+        sinc,
+        key,
+        size1,
+        interp1,
+        size2,
+        interp2,
+        final_size,
+        final_interp,
+        second_blur,
+        jpeg_first_in_stage2,
+        noise1_sigma,
+        noise1_poisson_scale,
+        noise1_is_poisson,
+        noise1_gray,
+        jpeg1_quality,
+        noise2_sigma,
+        noise2_poisson_scale,
+        noise2_is_poisson,
+        noise2_gray,
+        jpeg2_quality,
+    )
+    gt_c, lr_c = augment.paired_random_crop(gt, lr, tops, lefts, gt_size, crop_upscale)
+    usm_c, _ = augment.paired_random_crop(gt_usm, lr, tops, lefts, gt_size, crop_upscale)
+    usm_c, _ = augment.paired_flip_rotate(usm_c, lr_c, hflips, vflips, rots)
+    gt_c, lr_c = augment.paired_flip_rotate(gt_c, lr_c, hflips, vflips, rots)
+    return gt_c, usm_c, lr_c
+
+
+def apply_realesrgan_train_batch(
+    gt_raw,
+    k1,
+    k2,
+    sinc,
+    key,
+    plan: RealEsrganPlan,
+    tops,
+    lefts,
+    hflips,
+    vflips,
+    rots,
+    gt_size: int,
+    upscale_factor: int,
+):
+    """USM + second-order chain + aligned crops + paired flips/rotation as
+    ONE jitted program (one dispatch per step; see
+    ``degrade.apply_bsrgan_batch_cropped`` for why). Accepts uint8 or
+    float GT batches. Returns (gt_crop, gt_usm_crop, lr_crop)."""
+    return _apply_train(
+        gt_raw,
+        k1,
+        k2,
+        sinc,
+        key,
+        jnp.asarray(tops),
+        jnp.asarray(lefts),
+        jnp.asarray(hflips, jnp.float32),
+        jnp.asarray(vflips, jnp.float32),
+        jnp.asarray(rots, jnp.float32),
+        plan.size1,
+        plan.interp1,
+        plan.size2,
+        plan.interp2,
+        plan.final_size,
+        plan.final_interp,
+        plan.second_blur,
+        plan.jpeg_first_in_stage2,
+        jnp.asarray(plan.noise1_sigma),
+        jnp.asarray(plan.noise1_poisson_scale),
+        jnp.asarray(plan.noise1_is_poisson),
+        jnp.asarray(plan.noise1_gray),
+        jnp.asarray(plan.jpeg1_quality),
+        jnp.asarray(plan.noise2_sigma),
+        jnp.asarray(plan.noise2_poisson_scale),
+        jnp.asarray(plan.noise2_is_poisson),
+        jnp.asarray(plan.noise2_gray),
+        jnp.asarray(plan.jpeg2_quality),
+        gt_size,
+        upscale_factor,
+    )
