@@ -38,9 +38,16 @@ class DegradationAdapter:
         # per-host RNG fold-in: hosts draw independent degradation plans
         self.rng = np.random.default_rng((seed, jax.process_index()))
         self.train = train
-        self._bicubic = jax.jit(
-            lambda g: jnp.clip(imresize(g, 1.0 / cfg.upscale_factor), 0.0, 1.0)
-        )
+
+        @jax.jit
+        def _bicubic_pair(g_raw):
+            # uint8 or float transport; gt + MATLAB-bicubic lr in ONE program
+            g = g_raw.astype(jnp.float32)
+            if np.issubdtype(np.dtype(g_raw.dtype), np.integer):
+                g = g / 255.0
+            return g, jnp.clip(imresize(g, 1.0 / cfg.upscale_factor), 0.0, 1.0)
+
+        self._bicubic_pair = _bicubic_pair
 
     def __call__(self, host_batch: dict[str, np.ndarray], step: int) -> dict[str, Any]:
         cfg = self.cfg
@@ -52,8 +59,8 @@ class DegradationAdapter:
             }
 
         if cfg.degradation == "bicubic":
-            gt = jnp.asarray(host_batch["gt"])
-            return {"gt": gt, "lr": self._bicubic(gt)}
+            gt, lr = self._bicubic_pair(host_batch["gt"])
+            return {"gt": gt, "lr": lr}
 
         if cfg.degradation == "bsrgan":
             from srganfd_tpu.ops.degrade import apply_bsrgan_batch_cropped, bsrgan_lr_size

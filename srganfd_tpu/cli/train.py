@@ -114,9 +114,9 @@ def run_train(
                 batch_size=cfg.batch_size,
                 seed=cfg.seed,
                 num_threads=max(cfg.num_workers, 2),
-                # bsrgan's fused degrade+crop program folds /255 on-device:
-                # ship raw bytes (4x less host->device traffic)
-                uint8=cfg.degradation == "bsrgan",
+                # the fused degradation programs fold /255 on-device: ship
+                # raw bytes (4x less host->device traffic)
+                uint8=cfg.degradation in ("bsrgan", "bicubic"),
             )
             print("using native C++ data loader")
     if train_loader is None:
