@@ -145,6 +145,17 @@ def run_train(
     needs_pixel_target = cfg.degradation == "realesrgan"
     step_fn = trainer.make_train_step(separate_pixel_target=needs_pixel_target)
 
+    # single-dispatch mode: degradation+crop fused INTO the train step
+    # (for remote-execution tunnels; see docs/tpu_performance.md)
+    fuse_step = (
+        cfg.degradation == "bsrgan"
+        and os.environ.get("SRGANFD_FUSE_STEP", "0") == "1"
+    )
+    if fuse_step:
+        from srganfd_tpu.ops.degrade import bsrgan_lr_size, plan_bsrgan_batch
+
+        print("degradation fused into the train step (SRGANFD_FUSE_STEP=1)")
+
     tracker = Tracker(cfg.experience_name or cfg.exp_name or cfg.name, cfg.run_name, cfg.run_id,
                       samples_dir=cfg.samples_dir)
     tracker.log_params({k: v for k, v in vars(cfg).items() if not k.startswith("_")})
@@ -187,12 +198,31 @@ def run_train(
         end = time.time()
         for i in range(spe):
             host_batch = next(it)
-            batch = train_adapter(host_batch, global_step)
-            data_time.update(time.time() - end)
-            if needs_pixel_target:
-                state, metrics = step_fn(state, batch["gt"], batch["lr"], batch["gt_pixel"])
+            if fuse_step:
+                n = int(np.shape(host_batch["gt"])[0])
+                plan = plan_bsrgan_batch(
+                    train_adapter.rng, n, cfg.upscale_factor,
+                    jpeg_prob=cfg.degradation_params.get("jpeg_prob", 0.9),
+                    scale2_prob=cfg.degradation_params.get("scale2_prob", 0.25),
+                    per_sample_order=True,
+                )
+                lr_edge = bsrgan_lr_size(int(np.shape(host_batch["gt"])[1]), plan)
+                lim = lr_edge - cfg.gt_image_size // cfg.upscale_factor
+                tops = train_adapter.rng.integers(0, lim + 1, n)
+                lefts = train_adapter.rng.integers(0, lim + 1, n)
+                data_time.update(time.time() - end)
+                state, metrics = trainer.bsrgan_fused_train_step(
+                    state, host_batch["gt"], plan, tops, lefts, cfg.gt_image_size
+                )
             else:
-                state, metrics = step_fn(state, batch["gt"], batch["lr"])
+                batch = train_adapter(host_batch, global_step)
+                data_time.update(time.time() - end)
+                if needs_pixel_target:
+                    state, metrics = step_fn(
+                        state, batch["gt"], batch["lr"], batch["gt_pixel"]
+                    )
+                else:
+                    state, metrics = step_fn(state, batch["gt"], batch["lr"])
             # materialize metrics (a device sync) only at print frequency —
             # pulling them every step would serialize host and device
             if i % cfg.train_print_frequency == 0:

@@ -311,6 +311,54 @@ class Trainer:
             self._train_step = self.make_train_step()
         return self._train_step
 
+    # -- degradation-fused step ------------------------------------------------
+
+    @functools.cache
+    def _fused_bsrgan_step(
+        self, scale2: bool, scale2_interp: int, effective_upscale: int, gt_size: int
+    ) -> Callable:
+        from srganfd_tpu.ops.degrade import _apply_chain_cropped
+
+        step = self.train_step
+        sf = self.cfg.upscale_factor
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def fused(state, gt_raw, ka, kb, jq, japply, fjq, pos_arr, tops, lefts):
+            gt_c, lr_c = _apply_chain_cropped(
+                gt_raw, ka, kb, jq, japply, fjq, pos_arr, tops, lefts,
+                0, True, scale2, scale2_interp, effective_upscale, gt_size, sf,
+            )
+            return step(state, gt_c, lr_c)
+
+        return fused
+
+    def bsrgan_fused_train_step(self, state, gt_raw, plan, tops, lefts, gt_size: int):
+        """BSRGAN chain + aligned crop + GAN update as ONE jitted program —
+        a single device dispatch per step for remote-execution tunnels
+        where each dispatch has ~0.1 s fixed latency
+        (docs/tpu_performance.md). Requires a per-sample-order plan
+        (``plan_bsrgan_batch(..., per_sample_order=True)``) so the JPEG
+        slot is an operand; compile variants are only the scale2 branch
+        (1 program at x2, <=5 at x4). Accepts uint8 or float GT batches.
+        """
+        import numpy as np_
+
+        fused = self._fused_bsrgan_step(
+            plan.scale2, plan.scale2_interp, plan.effective_upscale, gt_size
+        )
+        return fused(
+            state,
+            gt_raw,
+            jnp.asarray(plan.kernels_a),
+            jnp.asarray(plan.kernels_b),
+            jnp.asarray(plan.jpeg_quality),
+            jnp.asarray(plan.jpeg_apply),
+            jnp.asarray(plan.final_jpeg_quality),
+            jnp.asarray(np_.asarray(plan.jpeg_pos)),
+            jnp.asarray(tops),
+            jnp.asarray(lefts),
+        )
+
     # -- eval -----------------------------------------------------------------
 
     @functools.cached_property

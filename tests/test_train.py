@@ -195,3 +195,41 @@ def test_two_axis_mesh_step(eight_devices):
     assert len(gt.sharding.device_set) == 8
     state, metrics = tr.train_step(state, gt, lr)
     assert np.isfinite(float(metrics["pixel_loss"]))
+
+
+def test_bsrgan_fused_degraded_step_matches_composed():
+    """The single-dispatch degradation+crop+update program must equal the
+    composed path (apply_bsrgan_batch_cropped then train_step) exactly."""
+    from srganfd_tpu.ops.degrade import apply_bsrgan_batch_cropped, plan_bsrgan_batch
+
+    cfg = _tiny(get_config("bsrgan"))
+    cfg = cfg.replace(
+        g_kwargs={**cfg.g_kwargs, "num_rrdb": 1},
+        content_weight=(),
+        gt_image_size=16,
+        upscale_factor=2,
+        g_arch="bsrgan_x2",
+    )
+    rng = np.random.default_rng(11)
+    raw = rng.integers(0, 256, (2, 48, 48, 3)).astype(np.uint8)
+    plan = plan_bsrgan_batch(rng, 2, 2, per_sample_order=True)
+    tops = np.array([0, 3])
+    lefts = np.array([2, 1])
+
+    tr_a = Trainer(cfg, steps_per_epoch=10)
+    state_a = tr_a.init_state(jax.random.PRNGKey(9), (2, 8, 8, 3), (2, 16, 16, 3))
+    state_a, m_a = tr_a.bsrgan_fused_train_step(state_a, raw, plan, tops, lefts, 16)
+
+    tr_b = Trainer(cfg, steps_per_epoch=10)
+    state_b = tr_b.init_state(jax.random.PRNGKey(9), (2, 8, 8, 3), (2, 16, 16, 3))
+    gt_c, lr_c = apply_bsrgan_batch_cropped(raw, plan, tops, lefts, 16, 2)
+    state_b, m_b = tr_b.train_step(state_b, gt_c, lr_c)
+
+    for k in m_a:
+        np.testing.assert_allclose(
+            float(m_a[k]), float(m_b[k]), rtol=1e-5, atol=1e-6, err_msg=k
+        )
+    la = jax.tree_util.tree_leaves(state_a.g_params)
+    lb = jax.tree_util.tree_leaves(state_b.g_params)
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
