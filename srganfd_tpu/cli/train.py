@@ -66,7 +66,15 @@ def build_datasets(cfg):
 def validate(cfg, trainer, params, valid_loader, adapter, lpips_fn=None, max_batches: int = 16):
     """Per-epoch validation: SR the degraded valid crops; Y-channel
     PSNR/SSIM with crop_border = upscale_factor, plus LPIPS when a metric
-    fn is given (``BSRGAN/train_bsrgan.py:515-607`` surface)."""
+    fn is given (``BSRGAN/train_bsrgan.py:515-607`` surface).
+
+    The adapter's RNG is reset each pass so every epoch validates on the
+    SAME degradations: metrics are epoch-comparable and no new
+    degradation-plan variants need compiling after the first epoch (the
+    reference's global torch RNG instead drifts per epoch)."""
+    import jax as _jax
+
+    adapter.rng = np.random.default_rng((cfg.seed + 1, _jax.process_index()))
     psnrs, ssims, lpipses = [], [], []
     for i, host_batch in enumerate(valid_loader):
         if i >= max_batches:
