@@ -24,3 +24,28 @@ Layout (mirrors SURVEY.md §7.1):
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache (works through remote-compile
+    tunnels too: measured 9.9 s -> 1.6 s for a repeat compile on the axon
+    v5e terminal). Opt out with SRGANFD_JAX_CACHE_DIR=0."""
+    import os
+
+    d = os.environ.get(
+        "SRGANFD_JAX_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "srganfd_jax"),
+    )
+    if not d or d == "0":
+        return
+    try:
+        import jax
+
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compilation_cache()
