@@ -240,11 +240,14 @@ class _ScanBody(nn.Module):
     growth_channels: int
     dtype: Any
     remat: bool = False
+    pallas: bool = False
 
     @nn.compact
     def __call__(self, carry, _):
         block_cls = nn.remat(RRDB) if self.remat else RRDB
-        out = block_cls(self.channels, self.growth_channels, self.dtype, name="RRDB_0")(carry)
+        out = block_cls(
+            self.channels, self.growth_channels, self.dtype, self.pallas, name="RRDB_0"
+        )(carry)
         return out, None
 
 
@@ -256,6 +259,7 @@ def run_trunk(
     dtype: Any,
     scan_blocks: bool = False,
     remat: bool = False,
+    pallas: bool = False,
 ) -> jax.Array:
     """The RRDB trunk, called inside a parent module's compact ``__call__``.
 
@@ -273,7 +277,7 @@ def run_trunk(
         block_cls = nn.remat(RRDB) if remat else RRDB
         for i in range(num_blocks):
             # explicit names keep the param tree identical with/without remat
-            x = block_cls(channels, growth_channels, dtype, name=f"RRDB_{i}")(x)
+            x = block_cls(channels, growth_channels, dtype, pallas, name=f"RRDB_{i}")(x)
         return x
     scan = nn.scan(
         _ScanBody,
@@ -281,7 +285,7 @@ def run_trunk(
         split_rngs={"params": True},
         length=num_blocks,
     )
-    out, _ = scan(channels, growth_channels, dtype, remat, name="ScanRRDB")(x, None)
+    out, _ = scan(channels, growth_channels, dtype, remat, pallas, name="ScanRRDB")(x, None)
     return out
 
 

@@ -58,6 +58,7 @@ class RRDBNet(nn.Module):
     dtype: Any = jnp.float32
     scan_blocks: bool = False
     remat: bool = False
+    pallas: bool = False  # fused VMEM-resident RDB kernel (benchmark-gated)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -65,7 +66,7 @@ class RRDBNet(nn.Module):
         conv = lambda f: Conv(f, scaled_init=True, dtype=self.dtype)
         out1 = conv(self.channels)(x)
         out = run_trunk(out1, self.channels, self.growth_channels, self.num_blocks,
-                        self.dtype, self.scan_blocks, self.remat)
+                        self.dtype, self.scan_blocks, self.remat, self.pallas)
         out = out1 + conv(self.channels)(out)
         for _ in range(int(math.log2(self.upscale_factor)) if self.upscale_factor > 1 else 0):
             out = lrelu(conv(self.channels)(upsample_nearest(out, 2)))
@@ -87,6 +88,7 @@ class BSRGAN(nn.Module):
     dtype: Any = jnp.float32
     scan_blocks: bool = False
     remat: bool = False
+    pallas: bool = False  # fused VMEM-resident RDB kernel (benchmark-gated)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -94,7 +96,7 @@ class BSRGAN(nn.Module):
         conv = lambda f: Conv(f, scaled_init=True, dtype=self.dtype)
         out1 = conv(self.channels)(x)
         out = run_trunk(out1, self.channels, self.growth_channels, self.num_rrdb,
-                        self.dtype, self.scan_blocks, self.remat)
+                        self.dtype, self.scan_blocks, self.remat, self.pallas)
         out = out1 + conv(self.channels)(out)
         out = lrelu(conv(self.channels)(upsample_nearest(out, 2)))
         if self.upscale_factor == 4:
