@@ -20,7 +20,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from srganfd_tpu.configs.base import ExperimentConfig
-from srganfd_tpu.ops import augment
 from srganfd_tpu.ops.degrade import apply_bsrgan_batch, plan_bsrgan_batch
 from srganfd_tpu.ops.realesrgan_degrade import (
     apply_realesrgan_batch,
