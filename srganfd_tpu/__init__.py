@@ -32,6 +32,12 @@ def _enable_compilation_cache() -> None:
     v5e terminal). Opt out with SRGANFD_JAX_CACHE_DIR=0."""
     import os
 
+    # TPU-platform runs only: XLA:CPU AOT artifacts bake in the compiling
+    # machine's CPU features and can SIGILL when the cache moves hosts
+    # (observed "+prefer-no-scatter not supported" loader errors).
+    platforms = os.environ.get("JAX_PLATFORMS", "")
+    if "cpu" in platforms:
+        return
     d = os.environ.get(
         "SRGANFD_JAX_CACHE_DIR",
         os.path.join(os.path.expanduser("~"), ".cache", "srganfd_jax"),
