@@ -22,3 +22,12 @@ native:
 clean:
 	rm -rf results samples .pytest_cache
 	find . -name __pycache__ -type d -exec rm -rf {} +
+
+tune:
+	python tools/tpu_tune.py
+
+bench-suite:
+	python tools/bench_suite.py
+
+pipeline-profile:
+	python tools/pipeline_profile.py --train-dir $(TRAIN_DIR)
