@@ -54,12 +54,27 @@ def main() -> None:
         help="bfloat16 compute (TPU analog of the reference's --half fp16; "
         "slow on CPU where bf16 is software-emulated)",
     )
+    ap.add_argument(
+        "--attn-chunk",
+        type=int,
+        default=0,
+        help="attention-bearing archs (bsrgantrans, *_sa): exact chunked "
+        "attention with O(chunk*T) score memory — large frames the "
+        "reference's O(T^2) attention cannot process",
+    )
     args = ap.parse_args()
 
     choice_device(args.device)
-    model = (
-        create_model(args.arch, dtype=jnp.bfloat16) if args.half else build_model(args.arch)
-    )
+    kwargs = {}
+    if args.half:
+        kwargs["dtype"] = jnp.bfloat16
+    if args.attn_chunk:
+        kwargs["attn_chunk"] = args.attn_chunk
+    try:
+        model = create_model(args.arch, **kwargs)
+    except TypeError:
+        kwargs.pop("attn_chunk", None)
+        model = create_model(args.arch, **kwargs)
 
     img = load_image_rgb(args.inputs)
     x = jnp.asarray(img)[None]

@@ -336,20 +336,61 @@ def pixel_shuffle(x: jax.Array, factor: int) -> jax.Array:
     return x.reshape(n, h * factor, w * factor, co)
 
 
+def chunked_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array, chunk: int
+) -> jax.Array:
+    """Softmax attention with query-block chunking: peak score memory is
+    O(chunk * T) instead of O(T^2), unlocking large token counts (the
+    reference's SA/transformer variants OOM on big frames — SURVEY.md §5).
+    Full K/V stay resident; each block's softmax is exact, so the result
+    is identical to unchunked attention. q/k/v: (N, T, H, D)."""
+    n, t, h, d = q.shape
+    pad = (-t) % chunk
+    qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    nb = qp.shape[1] // chunk
+    blocks = jnp.moveaxis(qp.reshape(n, nb, chunk, h, d), 1, 0)
+
+    def blk(qi: jax.Array) -> jax.Array:
+        logits = jnp.einsum(
+            "nqhd,nkhd->nhqk", qi.astype(jnp.float32), k.astype(jnp.float32)
+        ) / jnp.sqrt(d)
+        w = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum("nhqk,nkhd->nqhd", w, v.astype(jnp.float32))
+
+    out = jax.lax.map(blk, blocks)  # (nb, n, chunk, h, d)
+    out = jnp.moveaxis(out, 0, 1).reshape(n, nb * chunk, h, d)
+    return out[:, :t].astype(q.dtype)
+
+
+def chunked_attention_fn(chunk: int):
+    """``nn.MultiHeadDotProductAttention``-compatible ``attention_fn``
+    (same q/k/v layout, extra kwargs ignored) running chunked attention —
+    lets existing checkpoints switch memory regimes with no param change."""
+
+    def fn(query, key, value, *args, **kwargs):  # noqa: ANN001
+        return chunked_attention(query, key, value, chunk)
+
+    return fn
+
+
 class TokenSelfAttention(nn.Module):
     """Multi-head self-attention over flattened HW tokens; returns
     (output, head-averaged attention weights) like torch
     ``nn.MultiheadAttention`` (BSRGAN/model.py:388-402).
 
-    O((HW)^2) — the reference's known memory hot spot; keep inputs small.
+    O((HW)^2) by default — the reference's known memory hot spot. Set
+    ``chunk_size`` > 0 for exact chunked attention with O(chunk*HW) score
+    memory; the (n, q, k) weight map (itself O((HW)^2)) is then skipped
+    and ``None`` is returned in its place.
     """
 
     channels: int
     num_heads: int = 8
     dtype: Any = jnp.float32
+    chunk_size: int = 0
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    def __call__(self, x: jax.Array) -> tuple[jax.Array, jax.Array | None]:
         n, h, w, c = x.shape
         tokens = x.reshape(n, h * w, c).astype(self.dtype)
         d = c // self.num_heads
@@ -359,13 +400,17 @@ class TokenSelfAttention(nn.Module):
         q = dense("query")(tokens)
         k = dense("key")(tokens)
         v = dense("value")(tokens)
-        logits = jnp.einsum("nqhd,nkhd->nhqk", q, k) / jnp.sqrt(d).astype(self.dtype)
-        weights = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum("nhqk,nkhd->nqhd", weights, v)
+        if self.chunk_size:
+            out = chunked_attention(q, k, v, self.chunk_size)
+            avg_weights = None
+        else:
+            logits = jnp.einsum("nqhd,nkhd->nhqk", q, k) / jnp.sqrt(d).astype(self.dtype)
+            weights = jax.nn.softmax(logits, axis=-1)
+            out = jnp.einsum("nhqk,nkhd->nqhd", weights, v)
+            avg_weights = jnp.mean(weights, axis=1)  # (n, q, k), torch head avg
         out = nn.DenseGeneral(
             c, axis=(-2, -1), dtype=self.dtype, param_dtype=jnp.float32, name="out"
         )(out)
-        avg_weights = jnp.mean(weights, axis=1)  # (n, q, k), torch-style head avg
         return out.reshape(n, h, w, c), avg_weights
 
 
@@ -378,6 +423,7 @@ class TransformerEncoderLayer(nn.Module):
     dim_feedforward: int = 2048
     dropout_rate: float = 0.1
     dtype: Any = jnp.float32
+    attn_chunk: int = 0  # >0: exact chunked attention (large-input mode)
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -387,6 +433,11 @@ class TransformerEncoderLayer(nn.Module):
             dtype=self.dtype,
             param_dtype=jnp.float32,
             deterministic=True,
+            attention_fn=(
+                chunked_attention_fn(self.attn_chunk)
+                if self.attn_chunk
+                else nn.dot_product_attention
+            ),
         )(x, x)
         attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
         x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(x + attn)

@@ -122,23 +122,25 @@ class DiscriminatorUNetSA(nn.Module):
     out_channels: int = 1
     channels: int = 64
     dtype: Any = jnp.float32
+    attn_chunk: int = 0  # >0: exact chunked attention (no attn map kept)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> tuple[jax.Array, jax.Array]:
         x = x.astype(self.dtype)
         c = self.channels
         sn = lambda f, k, s: SNConv(f, kernel=k, stride=s, padding=1, dtype=self.dtype)
+        sa = lambda ch: TokenSelfAttention(ch, dtype=self.dtype, chunk_size=self.attn_chunk)
 
         out1 = Conv(64, dtype=self.dtype)(x)
         down1 = lrelu(sn(c * 2, 4, 2)(out1, train))
         down2 = lrelu(sn(c * 4, 4, 2)(down1, train))
-        down2, _ = TokenSelfAttention(c * 4, dtype=self.dtype)(down2)
+        down2, _ = sa(c * 4)(down2)
         down3 = lrelu(sn(c * 8, 4, 2)(down2, train))
-        down3, _ = TokenSelfAttention(c * 8, dtype=self.dtype)(down3)
+        down3, _ = sa(c * 8)(down3)
 
         up = resize_bilinear(down3, (down3.shape[1] * 2, down3.shape[2] * 2))
         up1 = lrelu(sn(c * 4, 3, 1)(up, train))
-        up1, attn_map_up1 = TokenSelfAttention(c * 4, dtype=self.dtype)(up1)
+        up1, attn_map_up1 = sa(c * 4)(up1)
         up1 = up1 + down2
         up = resize_bilinear(up1, (up1.shape[1] * 2, up1.shape[2] * 2))
         up2 = lrelu(sn(c * 2, 3, 1)(up, train)) + down1

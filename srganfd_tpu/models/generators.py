@@ -110,8 +110,10 @@ class BSRGANtrans(nn.Module):
     """BSRGAN + transformer bottleneck (``A-ESRGAN/model.py:643-753``):
     after the RRDB trunk, stride-2 conv downsample, 2 transformer encoder
     layers over flattened HW tokens (d_model=channels, 4 heads), nearest
-    x2 upsample back, then the BSRGAN head. O((HW/4)^2) attention — keep
-    crops small, as the reference does."""
+    x2 upsample back, then the BSRGAN head. O((HW/4)^2) attention by
+    default — keep crops small, as the reference does — or set
+    ``attn_chunk`` > 0 for exact chunked attention with O(chunk*HW/4)
+    score memory (large-frame inference the reference cannot do)."""
 
     in_channels: int = 3
     out_channels: int = 3
@@ -122,6 +124,7 @@ class BSRGANtrans(nn.Module):
     dtype: Any = jnp.float32
     scan_blocks: bool = False
     remat: bool = False
+    attn_chunk: int = 0
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -135,7 +138,9 @@ class BSRGANtrans(nn.Module):
         n, h2, w2, c = out.shape
         tokens = out.reshape(n, h2 * w2, c)
         for _ in range(2):
-            tokens = TransformerEncoderLayer(c, 4, dtype=self.dtype)(tokens, deterministic)
+            tokens = TransformerEncoderLayer(
+                c, 4, dtype=self.dtype, attn_chunk=self.attn_chunk
+            )(tokens, deterministic)
         out = tokens.reshape(n, h2, w2, c)
         out = lrelu(conv(self.channels)(upsample_nearest(out, 2)))
 
