@@ -21,6 +21,8 @@ FAMILIES = {
     "rrdbnet": (None, 128, 16, 4),
     "esrgan": (None, 128, 16, 4),
     "bsrgan": ("bsrgan_x4", 128, 16, 4),
+    # the thesis's own headline config (BSRGAN x2 on Bubbles, gt 144)
+    "bsrgan_x2": (None, 144, 16, 2),
     "realesrgan": (None, 256, 12, 4),
     # BSRGANtrans token attention is O((HW)^2): the reference trains at
     # gt 120 / batch 8 (aesrgan_config.py:101-102) — larger crops OOM
@@ -73,7 +75,7 @@ def bench_family(name: str) -> None:
 
     arch, gt_size, batch, up = FAMILIES[name]
     rng = np.random.default_rng(0)
-    cfg = get_config(name)
+    cfg = get_config(name.removesuffix("_x2"))
     over = {
         "gt_image_size": gt_size,
         "batch_size": batch,
