@@ -20,6 +20,11 @@ def main() -> None:
     ap.add_argument("--train-dir", required=True)
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--config", default="bsrgan")
+    ap.add_argument(
+        "--fuse-step",
+        action="store_true",
+        help="degradation+crop fused INTO the train step (SRGANFD_FUSE_STEP mode)",
+    )
     args = ap.parse_args()
     sys.path.insert(0, ".")
 
@@ -79,10 +84,28 @@ def main() -> None:
         t0 = time.perf_counter()
         host_batch = next(it)
         t1 = time.perf_counter()
-        batch = adapter(host_batch, i)
-        t2 = time.perf_counter()
-        state, metrics = step_fn(state, batch["gt"], batch["lr"])
-        t3 = time.perf_counter()
+        if args.fuse_step:
+            from srganfd_tpu.ops.degrade import bsrgan_lr_size, plan_bsrgan_batch
+
+            n = int(len(host_batch["gt"]))
+            plan = plan_bsrgan_batch(
+                adapter.rng, n, cfg.upscale_factor, per_sample_order=True
+            )
+            lim = bsrgan_lr_size(int(host_batch["gt"].shape[1]), plan) - (
+                cfg.gt_image_size // cfg.upscale_factor
+            )
+            tops = adapter.rng.integers(0, lim + 1, n)
+            lefts = adapter.rng.integers(0, lim + 1, n)
+            t2 = time.perf_counter()
+            state, metrics = trainer.bsrgan_fused_train_step(
+                state, host_batch["gt"], plan, tops, lefts, cfg.gt_image_size
+            )
+            t3 = time.perf_counter()
+        else:
+            batch = adapter(host_batch, i)
+            t2 = time.perf_counter()
+            state, metrics = step_fn(state, batch["gt"], batch["lr"])
+            t3 = time.perf_counter()
         phases["loader"] += t1 - t0
         phases["adapter"] += t2 - t1
         phases["step_dispatch"] += t3 - t2
