@@ -87,15 +87,15 @@ def main() -> None:
         if args.fuse_step:
             from srganfd_tpu.ops.degrade import bsrgan_lr_size, plan_bsrgan_batch
 
-            n = int(len(host_batch["gt"]))
+            bsz = int(len(host_batch["gt"]))  # NOT `n` — that's the step counter
             plan = plan_bsrgan_batch(
-                adapter.rng, n, cfg.upscale_factor, per_sample_order=True
+                adapter.rng, bsz, cfg.upscale_factor, per_sample_order=True
             )
             lim = bsrgan_lr_size(int(host_batch["gt"].shape[1]), plan) - (
                 cfg.gt_image_size // cfg.upscale_factor
             )
-            tops = adapter.rng.integers(0, lim + 1, n)
-            lefts = adapter.rng.integers(0, lim + 1, n)
+            tops = adapter.rng.integers(0, lim + 1, bsz)
+            lefts = adapter.rng.integers(0, lim + 1, bsz)
             t2 = time.perf_counter()
             state, metrics = trainer.bsrgan_fused_train_step(
                 state, host_batch["gt"], plan, tops, lefts, cfg.gt_image_size
