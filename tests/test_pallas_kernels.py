@@ -93,3 +93,17 @@ def test_rdb_apply_custom_vjp_gradients():
             np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-3, rtol=1e-3)
     finally:
         rdb_mod.rdb_forward_pallas = orig
+
+
+def test_filter2d_dispatcher_large_image_fallback(monkeypatch):
+    """Above the banded-GEMM edge threshold the dispatcher must fall back
+    to the depthwise form with identical results."""
+    from srganfd_tpu.ops import filters as F
+
+    rng = np.random.default_rng(4)
+    imgs = jnp.asarray(rng.uniform(size=(1, 20, 20, 3)).astype(np.float32))
+    ks = jnp.asarray(kernels.fspecial_gaussian(5, 1.0).astype(np.float32))[None]
+    full = np.asarray(F.filter2d(imgs, ks))  # GEMM path (20 <= threshold)
+    monkeypatch.setattr(F, "_GEMM_MAX_EDGE", 8)
+    fallback = np.asarray(F.filter2d(imgs, ks))  # depthwise path now
+    np.testing.assert_allclose(fallback, full, atol=2e-6, rtol=1e-5)

@@ -83,3 +83,28 @@ def test_degradation_adapter_deterministic_by_seed():
     np.testing.assert_array_equal(np.asarray(out_a["gt"]), np.asarray(out_b["gt"]))
     out_c = DegradationAdapter(cfg, seed=6)(dict(batch), 0)
     assert not np.array_equal(np.asarray(out_a["lr"]), np.asarray(out_c["lr"]))
+
+
+def test_bsrgan_lr_size_matches_chain_output():
+    """The host-side LR-edge prediction (used for fused crop limits) must
+    match the chain's actual output for every scale2 variant."""
+    import numpy as np
+
+    from srganfd_tpu.ops.degrade import (
+        BsrganPlan,
+        apply_bsrgan_batch,
+        bsrgan_lr_size,
+        plan_bsrgan_batch,
+    )
+
+    rng = np.random.default_rng(9)
+    gt = np.random.default_rng(0).uniform(size=(1, 64, 64, 3)).astype(np.float32)
+    seen = set()
+    for _ in range(24):
+        plan = plan_bsrgan_batch(rng, 1, 4)
+        key = (plan.scale2, plan.scale2_interp)
+        if key in seen:
+            continue
+        seen.add(key)
+        lr = apply_bsrgan_batch(gt, plan)
+        assert lr.shape[1] == bsrgan_lr_size(64, plan), key
