@@ -18,6 +18,33 @@ def test_dryrun_multichip(eight_devices, capsys):
     assert "dryrun_multichip(8) OK" in out
 
 
+def test_dryrun_multichip_driver_invocation():
+    """Call dryrun_multichip the way the driver does: ``python -c`` with NO
+    CPU-mesh env (VERDICT r1 weak #1). The function must self-bootstrap a
+    virtual CPU mesh in a subprocess rather than assert on device count."""
+    import os
+    import subprocess
+
+    repo = str(pathlib.Path(__file__).resolve().parent.parent)
+    env = dict(os.environ)
+    # Mimic the driver environment: a TPU platform pinned, no virtual-mesh
+    # flags. PALLAS_AXON_POOL_IPS stays empty so no interpreter in this
+    # test ever dials the real tunnel.
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "axon"
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, "-c", "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"],
+        cwd=repo,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert "dryrun_multichip(8) OK" in proc.stdout
+
+
 def test_entry_compiles_tiny():
     # entry() builds the full 23-block flagship; compile-check a traced
     # abstract evaluation instead of a real compile to keep the suite fast
