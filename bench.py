@@ -77,6 +77,7 @@ def main() -> None:
         content_weight=(),  # VGG19 weights unavailable in this image; the
         # pixel+adversarial GAN step is the measured hot path
         compute_dtype="bfloat16",
+        fuse_d_forwards=True,  # perf opt-in (PARITY.md item 6)
     )
     trainer = Trainer(cfg, steps_per_epoch=1000)
 

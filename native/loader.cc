@@ -299,11 +299,6 @@ struct Loader {
 
 extern "C" {
 
-void* loader_create(const char** paths, int n_paths, int crop, int batch,
-                    uint64_t seed, int n_threads, int train) {
-  return nullptr;  // replaced by loader_create2 (kept for ABI stability)
-}
-
 void* loader_create2(const char** paths, int n_paths, int crop, int batch,
                      uint64_t seed, int n_threads, int train, int out_u8) {
   auto* l = new Loader();
@@ -322,7 +317,14 @@ void* loader_create2(const char** paths, int n_paths, int crop, int batch,
   return l;
 }
 
+// Legacy ABI entry (pre-uint8-transport callers): float32 output.
+void* loader_create(const char** paths, int n_paths, int crop, int batch,
+                    uint64_t seed, int n_threads, int train) {
+  return loader_create2(paths, n_paths, crop, batch, seed, n_threads, train, 0);
+}
+
 int loader_next(void* handle, void* out) {
+  if (handle == nullptr) return 0;
   return static_cast<Loader*>(handle)->next(out) ? 1 : 0;
 }
 

@@ -69,12 +69,16 @@ def main() -> None:
     if args.half:
         kwargs["dtype"] = jnp.bfloat16
     if args.attn_chunk:
-        kwargs["attn_chunk"] = args.attn_chunk
-    try:
-        model = create_model(args.arch, **kwargs)
-    except TypeError:
-        kwargs.pop("attn_chunk", None)
-        model = create_model(args.arch, **kwargs)
+        from srganfd_tpu.models.registry import arch_accepts
+
+        if arch_accepts(args.arch, "attn_chunk"):
+            kwargs["attn_chunk"] = args.attn_chunk
+        else:
+            print(
+                f"! --attn-chunk ignored: arch {args.arch!r} has no "
+                "attention to chunk"
+            )
+    model = create_model(args.arch, **kwargs)
 
     img = load_image_rgb(args.inputs)
     x = jnp.asarray(img)[None]

@@ -56,8 +56,9 @@ class ExperimentConfig:
     # one concatenated real|fake D forward in the D update (TPU batching
     # win). Auto-disabled for discriminators with BatchNorm statistics;
     # for SN-only Ds the sole divergence is one fewer power iteration per
-    # step (PARITY.md item 6). False = the reference's two forwards.
-    fuse_d_forwards: bool = True
+    # step (PARITY.md item 6). Default False = the reference's literal two
+    # forwards; perf configs (bench.py) opt in explicitly.
+    fuse_d_forwards: bool = False
 
     # optimizer / schedule
     epochs: int = 1

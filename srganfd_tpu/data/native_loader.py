@@ -13,9 +13,10 @@ Python ``BatchLoader``.
 from __future__ import annotations
 
 import ctypes
-import os
 import pathlib
+import shutil
 import subprocess
+import tempfile
 from typing import Iterator
 
 import numpy as np
@@ -24,19 +25,18 @@ _LIB_PATH = pathlib.Path(__file__).resolve().parents[2] / "native" / "libsrganfd
 _lib = None
 
 
-def _load(build_if_missing: bool = True):
-    global _lib
-    if _lib is not None:
-        return _lib
-    if not _LIB_PATH.exists() and build_if_missing:
-        script = _LIB_PATH.parent / "build.sh"
-        try:
-            subprocess.run(["sh", str(script)], check=True, capture_output=True)
-        except Exception:
-            return None
-    if not _LIB_PATH.exists():
-        return None
-    lib = ctypes.CDLL(str(_LIB_PATH))
+def _rebuild() -> bool:
+    script = _LIB_PATH.parent / "build.sh"
+    try:
+        subprocess.run(["sh", str(script)], check=True, capture_output=True)
+    except Exception:
+        return False
+    return _LIB_PATH.exists()
+
+
+def _bind(lib) -> None:
+    """Declare the ctypes signatures. Raises AttributeError on a stale .so
+    that predates a required symbol (handled by _load with a rebuild)."""
     lib.loader_create2.restype = ctypes.c_void_p
     lib.loader_create2.argtypes = [
         ctypes.POINTER(ctypes.c_char_p),
@@ -60,6 +60,35 @@ def _load(build_if_missing: bool = True):
         ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int),
     ]
+
+
+def _load(build_if_missing: bool = True):
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB_PATH.exists():
+        if not (build_if_missing and _rebuild()):
+            return None
+    rebuilt = False
+    path = str(_LIB_PATH)
+    while True:
+        try:
+            lib = ctypes.CDLL(path)
+            _bind(lib)
+            break
+        except (AttributeError, OSError):
+            # Stale/unloadable .so from an older checkout: rebuild once,
+            # else report unavailable so callers fall back to BatchLoader.
+            if rebuilt or not build_if_missing or not _rebuild():
+                return None
+            rebuilt = True
+            # dlopen dedupes loaded objects by inode and the linker may
+            # truncate in place, so the stale image could shadow the fresh
+            # build at the canonical path — load via a unique temp copy.
+            tmp = tempfile.NamedTemporaryFile(suffix=".so", delete=False)
+            tmp.close()
+            shutil.copy2(_LIB_PATH, tmp.name)
+            path = tmp.name
     _lib = lib
     return lib
 

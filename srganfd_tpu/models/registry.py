@@ -36,3 +36,23 @@ def create_model(arch_name: str, **kwargs: Any):
 
 def list_models() -> list[str]:
     return sorted(_REGISTRY)
+
+
+def arch_accepts(arch_name: str, field: str) -> bool:
+    """True if the arch's module class declares ``field`` as a dataclass
+    attribute. Resolved from the factory's return annotation (the factories
+    are thin ``**kw`` pass-throughs, so their signatures say nothing);
+    conservatively False when the annotation can't be resolved."""
+    import dataclasses
+    import inspect
+    import sys
+
+    factory = _REGISTRY.get(arch_name)
+    if factory is None:
+        return False
+    ann = inspect.signature(factory).return_annotation
+    if isinstance(ann, str):  # from __future__ import annotations
+        ann = getattr(sys.modules.get(factory.__module__), ann, None)
+    if ann is None or not dataclasses.is_dataclass(ann):
+        return False
+    return field in {f.name for f in dataclasses.fields(ann)}

@@ -217,9 +217,12 @@ def apply_bsrgan_batch(images: jax.Array, plan: BsrganPlan) -> jax.Array:
 
 def bsrgan_lr_size(h: int, plan: BsrganPlan) -> int:
     """Host-side prediction of the chain's LR edge for an H-px square GT
-    (mirrors ``_apply_chain``'s sizes: optional pre-halve, then
+    (mirrors ``_apply_chain``'s sizes: optional pre-halve — ceil for the
+    MATLAB-imresize branch, floor ``int(0.5*h)`` for the cv2 branch — then
     1/effective_upscale MATLAB resize with ceil rounding)."""
-    hp = (h + 1) // 2 if plan.scale2 else h
+    hp = h
+    if plan.scale2:
+        hp = (h + 1) // 2 if plan.scale2_interp == 0 else h // 2
     return -(-hp // plan.effective_upscale)
 
 

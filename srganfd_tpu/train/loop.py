@@ -114,6 +114,7 @@ class Trainer:
             weight_decay=cfg.model_weight_decay,
         )
         self._train_step = None
+        self._fused_step_cache: dict[tuple, Callable] = {}
 
     # -- initialization ------------------------------------------------------
 
@@ -313,10 +314,17 @@ class Trainer:
 
     # -- degradation-fused step ------------------------------------------------
 
-    @functools.cache
     def _fused_bsrgan_step(
         self, scale2: bool, scale2_interp: int, effective_upscale: int, gt_size: int
     ) -> Callable:
+        # Per-instance cache (a class-level functools.cache would key on
+        # self and pin every Trainer + its donated-buffer closures for
+        # process lifetime — ADVICE r1).
+        key = (scale2, scale2_interp, effective_upscale, gt_size)
+        cached = self._fused_step_cache.get(key)
+        if cached is not None:
+            return cached
+
         from srganfd_tpu.ops.degrade import _apply_chain_cropped
 
         step = self.train_step
@@ -330,6 +338,7 @@ class Trainer:
             )
             return step(state, gt_c, lr_c)
 
+        self._fused_step_cache[key] = fused
         return fused
 
     def bsrgan_fused_train_step(self, state, gt_raw, plan, tops, lefts, gt_size: int):

@@ -74,6 +74,60 @@ def test_uint8_batches_match_float_batches(image_dir, lib_available):
         np.testing.assert_allclose(fa, fb.astype(np.float32) / 255.0, atol=1e-6)
 
 
+def test_stale_or_corrupt_so_falls_back_gracefully(tmp_path, monkeypatch):
+    """ADVICE r1 (medium): a stale/unloadable .so must make available()
+    return False (Python BatchLoader fallback), not raise."""
+    import ctypes
+    import pathlib
+    import shutil
+    import subprocess
+
+    # Corrupt file: CDLL raises OSError -> unavailable, no exception.
+    bad = tmp_path / "libsrganfd_loader.so"
+    bad.write_bytes(b"not an elf")
+    monkeypatch.setattr(native_loader, "_LIB_PATH", pathlib.Path(bad))
+    monkeypatch.setattr(native_loader, "_lib", None)
+    assert native_loader._load(build_if_missing=False) is None
+
+    # Stale .so missing loader_create2: AttributeError path -> unavailable.
+    if shutil.which("g++"):
+        src = tmp_path / "stale.cc"
+        src.write_text(
+            'extern "C" { void* loader_create(const char**, int, int, int,'
+            " unsigned long long, int, int) { return 0; } }\n"
+        )
+        stale = tmp_path / "stale_loader.so"
+        subprocess.run(
+            ["g++", "-shared", "-fPIC", "-o", str(stale), str(src)], check=True
+        )
+        lib = ctypes.CDLL(str(stale))
+        monkeypatch.setattr(native_loader, "_LIB_PATH", pathlib.Path(stale))
+        monkeypatch.setattr(native_loader, "_lib", None)
+        assert native_loader._load(build_if_missing=False) is None
+        del lib
+
+
+def test_legacy_loader_create_delegates(image_dir, lib_available):
+    """The old ABI entry must produce real batches (not nullptr segfaults)."""
+    import ctypes
+
+    lib = native_loader._load()
+    lib.loader_create.restype = ctypes.c_void_p
+    lib.loader_create.argtypes = native_loader._lib.loader_create2.argtypes[:-1]
+    paths = sorted(
+        os.path.join(image_dir, f) for f in os.listdir(image_dir) if f.endswith(".png")
+    )
+    arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
+    handle = lib.loader_create(arr, len(paths), 32, 2, 0, 1, 1)
+    assert handle
+    buf = np.empty((2, 32, 32, 3), np.float32)
+    assert lib.loader_next(handle, buf.ctypes.data_as(ctypes.c_void_p)) == 1
+    assert 0.0 <= buf.min() and buf.max() <= 1.0
+    lib.loader_destroy(handle)
+    # nullptr handle is a clean miss, not a segfault
+    assert lib.loader_next(None, buf.ctypes.data_as(ctypes.c_void_p)) == 0
+
+
 def test_fused_crop_uint8_matches_float():
     """apply_bsrgan_batch_cropped over uint8 == over f32/255 bit-for-bit."""
     from srganfd_tpu.ops.degrade import apply_bsrgan_batch_cropped, plan_bsrgan_batch

@@ -98,13 +98,16 @@ def test_bsrgan_lr_size_matches_chain_output():
     )
 
     rng = np.random.default_rng(9)
-    gt = np.random.default_rng(0).uniform(size=(1, 64, 64, 3)).astype(np.float32)
-    seen = set()
-    for _ in range(24):
-        plan = plan_bsrgan_batch(rng, 1, 4)
-        key = (plan.scale2, plan.scale2_interp)
-        if key in seen:
-            continue
-        seen.add(key)
-        lr = apply_bsrgan_batch(gt, plan)
-        assert lr.shape[1] == bsrgan_lr_size(64, plan), key
+    # Odd GT edges exercise the ceil (MATLAB) vs floor (cv2 int(0.5*h))
+    # pre-halve divergence (ADVICE r1); even edges cover the common path.
+    for edge in (64, 65):
+        gt = np.random.default_rng(0).uniform(size=(1, edge, edge, 3)).astype(np.float32)
+        seen = set()
+        for _ in range(24):
+            plan = plan_bsrgan_batch(rng, 1, 4)
+            key = (plan.scale2, plan.scale2_interp)
+            if key in seen:
+                continue
+            seen.add(key)
+            lr = apply_bsrgan_batch(gt, plan)
+            assert lr.shape[1] == bsrgan_lr_size(edge, plan), (edge, key)
