@@ -23,7 +23,7 @@ from scipy.special import gamma as gamma_fn
 
 from srganfd_tpu.ops.resize import matlab_resize_plan
 
-__all__ = ["niqe", "fit_niqe_model", "load_niqe_model", "NiqeModel"]
+__all__ = ["niqe", "fit_niqe_model", "load_niqe_model", "save_niqe_model", "NiqeModel"]
 
 _GAMMA_GRID = np.arange(0.2, 10.001, 0.001)
 _R_GAM = (gamma_fn(2.0 / _GAMMA_GRID) ** 2) / (
@@ -124,20 +124,43 @@ def _nancov(x: np.ndarray) -> np.ndarray:
     return np.cov(x[ok], rowvar=False)
 
 
-def niqe(image: np.ndarray, model: NiqeModel, crop_border: int = 0) -> float:
-    """BGR [0,255] HWC (or already-Y HW) -> NIQE score (lower = better)."""
-    if image.ndim == 3:
-        from srganfd_tpu.ops import color
-        import jax.numpy as jnp
+def _y_channel(image: np.ndarray, convention: str) -> np.ndarray:
+    """BGR [0,255] HWC (or pre-extracted Y HW) -> float64 luminance.
 
-        y = np.asarray(
-            color.bgr_to_ycbcr(jnp.asarray(image.astype(np.float32) / 255.0), True)
-        )[..., 0] * 255.0
-    else:
-        y = image.astype(np.float64)
+    Two reference conventions, which differ in rounding (an additive
+    offset between them cancels exactly in the MSCN transform):
+
+    - ``"torch"`` — the torch ``NIQE`` module
+      (``ESRGAN/image_quality_assessment.py:1320-1326``): Y in [16, 235]
+      rounded to integer luminance.
+    - ``"numpy"`` — the numpy ``niqe`` function (``:301-344`` via
+      ``imgproc.bgr_to_ycbcr``): ``(dot(image, coefs) + 16) / 255``
+      computed on the [0,255] image, float32-quantized, NOT rounded.
+    """
+    if image.ndim != 3:
+        return image.astype(np.float64)
+    if convention == "numpy":
+        y = image.astype(np.float64) @ np.array([24.966, 128.553, 65.481]) + 16.0
+        return (y / 255.0).astype(np.float32).astype(np.float64)
+    from srganfd_tpu.ops import color
+    import jax.numpy as jnp
+
+    y = np.asarray(
+        color.bgr_to_ycbcr(jnp.asarray(image.astype(np.float32) / 255.0), True)
+    )[..., 0] * 255.0
+    return np.round(y).astype(np.float64)
+
+
+def niqe(
+    image: np.ndarray,
+    model: NiqeModel,
+    crop_border: int = 0,
+    convention: str = "torch",
+) -> float:
+    """BGR [0,255] HWC (or already-Y HW) -> NIQE score (lower = better)."""
+    y = _y_channel(image, convention)
     if crop_border > 0:
         y = y[crop_border:-crop_border, crop_border:-crop_border]
-    y = np.round(y)  # reference quantizes to integer luminance
 
     feats = _image_features(y)
     mu_dist = np.nanmean(feats, axis=0)
@@ -160,23 +183,27 @@ def load_niqe_model(mat_path: str) -> NiqeModel:
     raise KeyError(f"unrecognized niqe model keys: {list(data)}")
 
 
-def fit_niqe_model(images: list[np.ndarray]) -> NiqeModel:
+def fit_niqe_model(images: list[np.ndarray], convention: str = "torch") -> NiqeModel:
     """Fit a pristine MVG model from BGR [0,255] images (capability the
-    reference lacks — it only consumes a prebuilt .mat)."""
+    reference lacks — it only consumes a prebuilt .mat). ``convention``
+    must match the scoring convention the model will be used with."""
     all_feats = []
     for image in images:
-        if image.ndim == 3:
-            from srganfd_tpu.ops import color
-            import jax.numpy as jnp
-
-            y = np.asarray(
-                color.bgr_to_ycbcr(jnp.asarray(image.astype(np.float32) / 255.0), True)
-            )[..., 0] * 255.0
-        else:
-            y = image.astype(np.float64)
-        all_feats.append(_image_features(np.round(y)))
+        all_feats.append(_image_features(_y_channel(image, convention)))
     feats = np.concatenate(all_feats, axis=0)
     return NiqeModel(np.nanmean(feats, axis=0), _nancov(feats))
+
+
+def save_niqe_model(model: NiqeModel, path: str) -> None:
+    """Write the .npz layout the reference's numpy ``niqe`` consumes
+    (``ESRGAN/image_quality_assessment.py:330-335``:
+    mu_pris_param / cov_pris_param / gaussian_window)."""
+    np.savez(
+        path,
+        mu_pris_param=model.mu,
+        cov_pris_param=model.cov,
+        gaussian_window=_gaussian_window(),
+    )
 
 
 def niqe_from_mat(

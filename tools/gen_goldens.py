@@ -111,6 +111,65 @@ def main() -> None:
         ssim_c0_y0=np.float64(ref_iqa.ssim(sr8.copy(), gt8.copy(), 0, False)),
     )
 
+    # --- full NIQE score parity ---------------------------------------------
+    # Fit a pristine model with OUR fit_niqe_model, hand it to the
+    # REFERENCE's numpy niqe() (which re-extracts features itself), and
+    # golden the resulting scores. Includes the single-image identity:
+    # a model fitted on exactly one image must score ~0 on that image via
+    # the reference — a reference-side validation of the fit.
+    import tempfile
+
+    import cv2
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+    from srganfd_tpu.metrics import niqe as our_niqe
+
+    def textured(seed, size):
+        r = np.random.default_rng(seed)
+        base = r.uniform(0, 1, (size // 8, size // 8, 3))
+        img = cv2.resize(base, (size, size), interpolation=cv2.INTER_CUBIC)
+        img = img + 0.1 * r.normal(size=(size, size, 3))
+        return (np.clip(img, 0, 1) * 255).astype(np.float64)
+
+    corpus = [textured(100 + i, 384) for i in range(6)]
+    model = our_niqe.fit_niqe_model(corpus, convention="numpy")
+    with tempfile.TemporaryDirectory() as td:
+        mpath = f"{td}/niqe_model.npz"
+        our_niqe.save_niqe_model(model, mpath)
+        test_img = textured(7, 224)
+        blur_img = cv2.GaussianBlur(test_img, (21, 21), 5.0)
+        score_clean = ref_iqa.niqe(test_img.copy(), 0, mpath)
+        score_blur = ref_iqa.niqe(blur_img.copy(), 0, mpath)
+        score_crop = ref_iqa.niqe(textured(8, 240).copy(), 4, mpath)
+        # identity: model fitted on ONE image scores ~0 on that image
+        solo = textured(9, 672)  # 49 blocks > 36 dims: full-rank covariance
+        solo_model = our_niqe.fit_niqe_model([solo], convention="numpy")
+        spath = f"{td}/niqe_solo.npz"
+        our_niqe.save_niqe_model(solo_model, spath)
+        score_solo = ref_iqa.niqe(solo.copy(), 0, spath)
+        # torch NIQE module (loads .mat, rounds Y) with the same model
+        from scipy.io import savemat
+
+        matpath = f"{td}/niqe_model.mat"
+        savemat(matpath, {"mu_prisparam": model.mu[None], "cov_prisparam": model.cov})
+        rgb01 = np.ascontiguousarray(test_img[..., ::-1] / 255.0)
+        t = torch.from_numpy(rgb01.transpose(2, 0, 1)[None]).float()
+        score_torch = float(ref_iqa.NIQE(crop_border=0, niqe_model_path=matpath)(t))
+    np.savez(
+        OUT / "niqe_full.npz",
+        test_img=test_img,
+        blur_img=blur_img,
+        crop_img=textured(8, 240),
+        solo_img=solo,
+        mu=model.mu,
+        cov=model.cov,
+        score_clean=np.float64(score_clean),
+        score_blur=np.float64(score_blur),
+        score_crop=np.float64(score_crop),
+        score_solo=np.float64(score_solo),
+        score_torch=np.float64(score_torch),
+    )
+
     # --- BSRGAN blur kernels -------------------------------------------------
     sys.path.insert(0, str(REF / "BSRGAN"))
     for mod in ("imgproc",):
