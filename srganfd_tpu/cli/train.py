@@ -165,7 +165,8 @@ def run_train(
         print("degradation fused into the train step (SRGANFD_FUSE_STEP=1)")
 
     tracker = Tracker(cfg.experience_name or cfg.exp_name or cfg.name, cfg.run_name, cfg.run_id,
-                      samples_dir=cfg.samples_dir)
+                      samples_dir=cfg.samples_dir, tags=cfg.tags or None,
+                      description=cfg.description)
     tracker.log_params({k: v for k, v in vars(cfg).items() if not k.startswith("_")})
 
     lpips_fn = None
@@ -282,6 +283,12 @@ def run_train(
         best["ssim"] = max(best["ssim"], ssim)
         best["lpips"] = min(best["lpips"], vm["lpips"])
         ckpt.save_checkpoint(ckpt_dir, state, epoch, best, is_best)
+        # model artifacts under the reference's names (the orbax snapshot
+        # holds g + ema_g + d together; the reference logs three torch
+        # models — BSRGAN/train_bsrgan.py:201-214)
+        if is_best:
+            tracker.log_artifact_dir(os.path.join(ckpt_dir, "ckpt_best"), "best_g_model")
+        tracker.log_artifact_dir(os.path.join(ckpt_dir, "ckpt_last"), "last_g_model")
     tracker.close()
     return {"best_psnr": best["psnr"], "best_ssim": best["ssim"], "state": state}
 

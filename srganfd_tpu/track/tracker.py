@@ -48,6 +48,8 @@ class Tracker:
         samples_dir: str = "samples",
         use_mlflow: bool = True,
         use_tensorboard: bool = True,
+        tags: Any = None,
+        description: str = "",
     ) -> None:
         self.dir = os.path.join(samples_dir, "logs", experience_name or "default")
         os.makedirs(self.dir, exist_ok=True)
@@ -58,15 +60,32 @@ class Tracker:
             self._tb = SummaryWriter(self.dir)
 
         self._mlflow_active = False
+        self.run_id = run_id
         if use_mlflow and mlflow is not None:
-            mlflow.set_experiment(experience_name or "default")
+            name = experience_name or "default"
             try:
-                mlflow.start_run(run_id=run_id or None, run_name=run_name or None)
+                mlflow.set_experiment(name)
+            except Exception:
+                # reference creates the experiment when set fails
+                # (BSRGAN/train_bsrgan.py:126-130); we additionally re-set
+                # so the run lands in it rather than in Default
+                mlflow.create_experiment(name)
+                mlflow.set_experiment(name)
+            kwargs = dict(
+                run_id=run_id or None,
+                run_name=run_name or None,
+                tags=tags or None,
+                description=description or None,
+            )
+            try:
+                mlflow.start_run(**kwargs)
             except Exception:
                 # reference recovers from an unclosed previous run the same
                 # way (BSRGAN/train_bsrgan.py:133-137)
                 mlflow.end_run()
-                mlflow.start_run(run_id=run_id or None, run_name=run_name or None)
+                mlflow.start_run(**kwargs)
+            run = mlflow.active_run()
+            self.run_id = getattr(getattr(run, "info", None), "run_id", "") or run_id
             self._mlflow_active = True
 
     # -- API mirroring the reference call sites --------------------------------
