@@ -14,6 +14,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 
 import jax
 import jax.numpy as jnp
@@ -60,7 +61,11 @@ def main() -> None:
         action="store_true",
         help="log discriminator attention maps (test_bsrgan.py:216-221 / A-ESRGAN getAttentionLayers)",
     )
-    ap.add_argument("--niqe-model", default="", help=".mat pristine model; enables NIQE")
+    ap.add_argument(
+        "--niqe-model",
+        default=os.environ.get("SRGANFD_NIQE_MODEL", ""),
+        help=".mat/.npz pristine model; enables NIQE (default $SRGANFD_NIQE_MODEL)",
+    )
     ap.add_argument("--tiny", action="store_true", help="shrink models (matches train --tiny)")
     ap.add_argument("--use-ema", action="store_true", help="evaluate the EMA generator instead of the raw one")
     args = ap.parse_args()
@@ -198,7 +203,11 @@ def main() -> None:
     }
     if niqes:
         avg["NIQE"] = float(np.clip(np.mean(niqes), 0, 100))
-    print(f"== PSNR: {avg['PSNR']:.2f} dB  SSIM: {avg['SSIM']:.4f}  LPIPS: {avg['LPIPS']:.4f}")
+    niqe_str = f"  NIQE: {avg['NIQE']:.3f}" if "NIQE" in avg else ""
+    print(
+        f"== PSNR: {avg['PSNR']:.2f} dB  SSIM: {avg['SSIM']:.4f}  "
+        f"LPIPS: {avg['LPIPS']:.4f}{niqe_str}"
+    )
     tracker.log_dict(avg, "test_metrics")
     tracker.close()
 

@@ -170,14 +170,22 @@ def niqe(
     return float(np.sqrt(d @ cov_pinv @ d))
 
 
-def load_niqe_model(mat_path: str) -> NiqeModel:
-    """Load the reference's ``niqe_model.mat`` format
-    (``image_quality_assessment.py:1285-1333``)."""
-    from scipy.io import loadmat
+def load_niqe_model(path: str) -> NiqeModel:
+    """Load a pristine model: the reference's ``niqe_model.mat``
+    (``image_quality_assessment.py:1285-1333``) or the .npz layout its
+    numpy ``niqe`` consumes (``:330-335``)."""
+    if path.endswith(".npz"):
+        data = np.load(path)
+    else:
+        from scipy.io import loadmat
 
-    data = loadmat(mat_path)
-    # known key layouts across niqe .mat distributions
-    for mu_key, cov_key in (("mu_prisparam", "cov_prisparam"), ("pop_mu", "pop_cov")):
+        data = loadmat(path)
+    # known key layouts across niqe model distributions
+    for mu_key, cov_key in (
+        ("mu_prisparam", "cov_prisparam"),
+        ("mu_pris_param", "cov_pris_param"),
+        ("pop_mu", "pop_cov"),
+    ):
         if mu_key in data:
             return NiqeModel(data[mu_key], data[cov_key])
     raise KeyError(f"unrecognized niqe model keys: {list(data)}")
