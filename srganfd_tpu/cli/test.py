@@ -24,7 +24,7 @@ from srganfd_tpu import configs
 from srganfd_tpu.cli.degrade_adapter import DegradationAdapter
 from srganfd_tpu.data.datasets import load_image_rgb, list_image_files
 from srganfd_tpu.losses.lpips import Lpips
-from srganfd_tpu.metrics.psnr_ssim import psnr_tensor, ssim_tensor
+from srganfd_tpu.metrics.psnr_ssim import psnr_tensor_padded, ssim_tensor_padded
 from srganfd_tpu.models import create_model
 from srganfd_tpu.track.tracker import Tracker
 from srganfd_tpu.train import checkpoint as ckpt
@@ -36,6 +36,16 @@ def _pad_to_multiple(img: np.ndarray, mult: int) -> tuple[np.ndarray, int, int]:
     if ph or pw:
         img = np.pad(img, ((0, ph), (0, pw), (0, 0)), mode="reflect")
     return img, h, w
+
+
+def _match_hw(x: jax.Array, height: int, width: int) -> jax.Array:
+    """Crop / zero-pad an NHWC array to (height, width); padded regions are
+    masked out of the metrics anyway."""
+    x = x[:, :height, :width]
+    ph, pw = height - x.shape[1], width - x.shape[2]
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    return x
 
 
 def main() -> None:
@@ -68,8 +78,18 @@ def main() -> None:
     )
     ap.add_argument("--tiny", action="store_true", help="shrink models (matches train --tiny)")
     ap.add_argument("--use-ema", action="store_true", help="evaluate the EMA generator instead of the raw one")
+    ap.add_argument(
+        "--exact-shapes",
+        action="store_true",
+        help="disable shape bucketing: one compile per image size, but no "
+        "reflect-pad seam inside the generator's receptive field "
+        "(strictest reference parity; metrics are exact either way)",
+    )
     args = ap.parse_args()
+    run_eval(args)
 
+
+def run_eval(args) -> dict:
     cfg = configs.get_config(args.config, mode="test")
     if args.tiny:
         shrink = {"channels": 8, "growth_channels": 4}
@@ -102,17 +122,25 @@ def main() -> None:
     params = None
     apply_fn = jax.jit(lambda p, z: model.apply({"params": p}, z))
 
+    sf = cfg.upscale_factor
+    mult = max(64, 16 * sf)
     psnrs, ssims, lpipses, niqes = [], [], [], []
     for i, (gt_path, lr_path) in enumerate(zip(gt_paths, lr_paths)):
         gt = load_image_rgb(gt_path)
-        # coarse bucketing: fewer distinct padded shapes => fewer jit
-        # recompiles across a size-varied test set
-        gt, h0, w0 = _pad_to_multiple(gt, max(64, 16 * cfg.upscale_factor))
+        if getattr(args, "exact_shapes", False):
+            h0, w0 = gt.shape[:2]
+        else:
+            # shape bucketing: reflect-pad to a coarse multiple so a
+            # size-varied test set compiles <= #buckets programs; metrics
+            # read only the valid region (masked kernels — exact)
+            gt, h0, w0 = _pad_to_multiple(gt, mult)
         if lr_path is None:
             batch = adapter({"gt": gt[None]}, i)
             lr_img = np.asarray(batch["lr"])[0]
         else:
             lr_img = load_image_rgb(lr_path)
+            if not getattr(args, "exact_shapes", False):
+                lr_img, _, _ = _pad_to_multiple(lr_img, mult // sf)
 
         x = jnp.asarray(lr_img)[None]
         if params is None:
@@ -123,28 +151,34 @@ def main() -> None:
             else:
                 print("! no --weights: randomly initialized generator")
                 params = model.init(jax.random.PRNGKey(0), x)["params"]
-        sr = apply_fn(params, x)
+        sr = _match_hw(apply_fn(params, x), gt.shape[0], gt.shape[1])
 
         gt_t = jnp.asarray(gt)[None]
-        p = float(psnr_tensor(sr, gt_t, cfg.upscale_factor, cfg.only_test_y_channel)[0])
-        s = float(ssim_tensor(sr, gt_t, cfg.upscale_factor, cfg.only_test_y_channel)[0])
+        valid = jnp.asarray([[h0, w0]], jnp.int32)
+        p = float(psnr_tensor_padded(sr, gt_t, valid, sf, cfg.only_test_y_channel)[0])
+        s = float(ssim_tensor_padded(sr, gt_t, valid, sf, cfg.only_test_y_channel)[0])
+        # perceptual metrics + outputs use the valid crop (Lpips here is
+        # un-jitted: no compile per shape)
+        sr_np = np.asarray(sr)[0][:h0, :w0]
+        sr_v = jnp.asarray(sr_np)[None]
+        gt_v = gt_t[:, :h0, :w0]
         if args.subdivision_lpips:
             # 2x2 quadrant LPIPS averaged (test_bsrgan.py:233-268)
-            hh, ww = sr.shape[1] // 2, sr.shape[2] // 2
+            hh, ww = h0 // 2, w0 // 2
             vals = []
             for qy in (0, 1):
                 for qx in (0, 1):
                     vals.append(
                         float(
                             lpips(
-                                sr[:, qy * hh : (qy + 1) * hh, qx * ww : (qx + 1) * ww],
-                                gt_t[:, qy * hh : (qy + 1) * hh, qx * ww : (qx + 1) * ww],
+                                sr_v[:, qy * hh : (qy + 1) * hh, qx * ww : (qx + 1) * ww],
+                                gt_v[:, qy * hh : (qy + 1) * hh, qx * ww : (qx + 1) * ww],
                             )[0]
                         )
                     )
             l = float(np.mean(vals))
         else:
-            l = float(lpips(sr, gt_t)[0])
+            l = float(lpips(sr_v, gt_v)[0])
         psnrs.append(p)
         ssims.append(s)
         lpipses.append(l)
@@ -152,12 +186,12 @@ def main() -> None:
         if niqe_model is not None:
             from srganfd_tpu.metrics import niqe as niqe_mod
 
-            n_score = niqe_mod.niqe(np.asarray(sr)[0][..., ::-1] * 255.0, niqe_model)
+            n_score = niqe_mod.niqe(sr_np[..., ::-1] * 255.0, niqe_model)
             niqes.append(n_score)
             extra = f"  NIQE {n_score:.3f}"
         print(f"[{i + 1}/{len(gt_paths)}] {gt_path}  PSNR {p:.2f}  SSIM {s:.4f}  LPIPS {l:.4f}{extra}")
         if args.save_images:
-            tracker.log_image(np.asarray(sr)[0][:h0, :w0], f"sr_{i:04d}")
+            tracker.log_image(sr_np, f"sr_{i:04d}")
         if d_model is not None:
             if d_variables is None:
                 d_variables = d_model.init(jax.random.PRNGKey(0), gt_t)
@@ -210,6 +244,11 @@ def main() -> None:
     )
     tracker.log_dict(avg, "test_metrics")
     tracker.close()
+    return {
+        "avg": avg,
+        # distinct compiled generator programs this eval (== #buckets hit)
+        "generator_compiles": apply_fn._cache_size() if hasattr(apply_fn, "_cache_size") else -1,
+    }
 
 
 if __name__ == "__main__":

@@ -25,7 +25,10 @@ import numpy as np
 
 from srganfd_tpu.ops import color
 
-__all__ = ["PSNR", "SSIM", "psnr", "ssim", "gaussian_window"]
+__all__ = [
+    "PSNR", "SSIM", "psnr", "ssim", "gaussian_window",
+    "psnr_tensor", "ssim_tensor", "psnr_tensor_padded", "ssim_tensor_padded",
+]
 
 def _highest_dtype():
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
@@ -120,6 +123,94 @@ def ssim_tensor(
     num = (2.0 * mu_rd + c1) * (2.0 * cov + c2)
     den = (mu_r2 + mu_d2 + c1) * (var_r + var_d + c2)
     return jnp.mean(num / den, axis=(1, 2, 3)).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# masked fixed-shape variants: metrics over the top-left (h, w) valid
+# region of bucket-padded images. Bit-identical to the unpadded kernels
+# (pointwise Y conversion; valid-conv windows inside the mask see only
+# valid pixels) but compiled ONCE per bucket shape — `valid_hw` is a
+# traced operand, so mixed-size eval sets cost <= #buckets compiles
+# instead of one per image size (SURVEY §7.3).
+# ---------------------------------------------------------------------------
+
+
+def _region_mask(valid_hw: jax.Array, height: int, width: int, border: int, dtype) -> jax.Array:
+    """(N, H, W) 0/1 mask of rows/cols in [border, valid - border)."""
+    rows = jnp.arange(height)[None, :]
+    cols = jnp.arange(width)[None, :]
+    ok_r = (rows >= border) & (rows < valid_hw[:, 0:1] - border)
+    ok_c = (cols >= border) & (cols < valid_hw[:, 1:2] - border)
+    return (ok_r[:, :, None] & ok_c[:, None, :]).astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("crop_border", "only_test_y_channel"))
+def psnr_tensor_padded(
+    raw: jax.Array,
+    dst: jax.Array,
+    valid_hw: jax.Array,
+    crop_border: int = 0,
+    only_test_y_channel: bool = True,
+) -> jax.Array:
+    """PSNR over the valid region of padded NHWC images.
+
+    ``valid_hw``: (N, 2) int32 original (h, w) per image. Equals
+    ``psnr_tensor(raw[:, :h, :w], dst[:, :h, :w], ...)`` exactly.
+    """
+    if only_test_y_channel:
+        raw, dst = _to_y(raw), _to_y(dst)
+    hd = _highest_dtype()
+    raw = raw.astype(hd)
+    dst = dst.astype(hd)
+    mask = _region_mask(valid_hw, raw.shape[1], raw.shape[2], crop_border, hd)[..., None]
+    err = ((raw - dst) * 255.0) ** 2 * mask
+    count = mask.sum(axis=(1, 2, 3)) * raw.shape[-1]
+    mse = err.sum(axis=(1, 2, 3)) / count + 1e-8
+    return 10.0 * jnp.log10(255.0**2 / mse)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("crop_border", "only_test_y_channel", "window_size", "gaussian_sigma")
+)
+def ssim_tensor_padded(
+    raw: jax.Array,
+    dst: jax.Array,
+    valid_hw: jax.Array,
+    crop_border: int = 0,
+    only_test_y_channel: bool = True,
+    window_size: int = 11,
+    gaussian_sigma: float = 1.5,
+) -> jax.Array:
+    """SSIM over the valid region of padded NHWC images (see
+    ``psnr_tensor_padded``). A valid-conv window starting at row i covers
+    rows [i, i + win); it lies inside the border-cropped valid region iff
+    ``border <= i < h - border - win + 1`` — those map positions are
+    exactly the unpadded kernel's outputs."""
+    if only_test_y_channel:
+        raw, dst = _to_y(raw), _to_y(dst)
+    hd = _highest_dtype()
+    raw = raw.astype(hd) * 255.0
+    dst = dst.astype(hd) * 255.0
+
+    c1 = (0.01 * 255.0) ** 2
+    c2 = (0.03 * 255.0) ** 2
+    window = jnp.asarray(gaussian_window(window_size, gaussian_sigma))
+
+    mu_r = _valid_gauss_filter(raw, window)
+    mu_d = _valid_gauss_filter(dst, window)
+    mu_r2, mu_d2, mu_rd = mu_r * mu_r, mu_d * mu_d, mu_r * mu_d
+    var_r = _valid_gauss_filter(raw * raw, window) - mu_r2
+    var_d = _valid_gauss_filter(dst * dst, window) - mu_d2
+    cov = _valid_gauss_filter(raw * dst, window) - mu_rd
+
+    num = (2.0 * mu_rd + c1) * (2.0 * cov + c2)
+    den = (mu_r2 + mu_d2 + c1) * (var_r + var_d + c2)
+    ssim_map = num / den  # (N, H - win + 1, W - win + 1, C)
+
+    win_hw = valid_hw - (window_size - 1)
+    mask = _region_mask(win_hw, ssim_map.shape[1], ssim_map.shape[2], crop_border, hd)[..., None]
+    count = mask.sum(axis=(1, 2, 3)) * ssim_map.shape[-1]
+    return ((ssim_map * mask).sum(axis=(1, 2, 3)) / count).astype(jnp.float32)
 
 
 class PSNR:
