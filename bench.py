@@ -6,11 +6,13 @@ pixel + adversarial loss, EMA) at batch 16 with 128-px GT crops (LR 32).
 
 Baseline: the reference publishes no steps/sec (BASELINE.md); the
 north-star target is ">5x A100 per-chip step throughput". We anchor
-``vs_baseline`` to an estimated PyTorch-reference A100 throughput of
-2.5 steps/s for this exact config (RRDBNet x4 GAN training at batch 16 /
-128-px crops runs ~2-3 it/s on A100-class hardware in the upstream
-Lornatang/BasicSR ecosystem this fork copies). vs_baseline > 5.0 meets
-the north star.
+``vs_baseline`` to 2.5 steps/s for the PyTorch reference on A100 —
+derived and bracketed in BASELINE.md ("Derivation of the 2.5 steps/s
+A100 anchor"): 4.80 TFLOPs/step against A100 tensor-core rooflines at
+the utilization eager torch reaches on these small-spatial shapes,
+sanity-checked by ``tools/torch_anchor.py`` (the same torch step runs at
+its fp32 roofline on this host's CPU). vs_baseline > 5.0 meets the
+north star for any anchor <= 3.0 steps/s.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "steps/sec/chip", "vs_baseline": N}

@@ -150,6 +150,35 @@ def run_train(
         start_epoch = int(payload["epoch"]) + 1
         print(f"resumed from {resume} at epoch {start_epoch}")
 
+    # data-parallel placement: replicate state, shard batches over the
+    # mesh's data axis (multi-host: each process contributes its per-host
+    # shard via global_batch_from_host). jit then inserts the psum
+    # gradient sync from the shardings alone (SURVEY §2.9).
+    data_ax = mesh.shape.get("data", 1) if mesh is not None else 1
+    global_batch = cfg.batch_size * jax.process_count()
+    dp = data_ax > 1 and global_batch % data_ax == 0
+    if data_ax > 1 and not dp:
+        print(f"! global batch {global_batch} not divisible by data axis {data_ax}: unsharded")
+    if dp:
+        from srganfd_tpu.parallel import (
+            batch_sharding,
+            global_batch_from_host,
+            replicated_sharding,
+        )
+
+        rep = replicated_sharding(mesh)
+        state = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)
+        bsh = batch_sharding(mesh)
+
+        def to_global(tree):
+            if jax.process_count() > 1:
+                return global_batch_from_host(tree, mesh)
+            return jax.tree_util.tree_map(lambda x: jax.device_put(x, bsh), tree)
+    else:
+
+        def to_global(tree):
+            return tree
+
     needs_pixel_target = cfg.degradation == "realesrgan"
     step_fn = trainer.make_train_step(separate_pixel_target=needs_pixel_target)
 
@@ -220,11 +249,12 @@ def run_train(
                 tops = train_adapter.rng.integers(0, lim + 1, n)
                 lefts = train_adapter.rng.integers(0, lim + 1, n)
                 data_time.update(time.time() - end)
+                gt_raw = to_global({"gt": host_batch["gt"]})["gt"]
                 state, metrics = trainer.bsrgan_fused_train_step(
-                    state, host_batch["gt"], plan, tops, lefts, cfg.gt_image_size
+                    state, gt_raw, plan, tops, lefts, cfg.gt_image_size
                 )
             else:
-                batch = train_adapter(host_batch, global_step)
+                batch = to_global(train_adapter(host_batch, global_step))
                 data_time.update(time.time() - end)
                 if needs_pixel_target:
                     state, metrics = step_fn(

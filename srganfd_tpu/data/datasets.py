@@ -53,6 +53,17 @@ def list_image_files(directory: str, shard: tuple[int, int] | None = None) -> li
     return paths
 
 
+def _resolve_shard(shard: tuple[int, int] | str | None) -> tuple[int, int] | None:
+    """``"auto"`` -> this process's shard under multi-host training
+    (identity for single-process); tuples/None pass through."""
+    if shard == "auto":
+        import jax
+
+        count = jax.process_count()
+        return (jax.process_index(), count) if count > 1 else None
+    return shard
+
+
 def load_image_rgb(path: str) -> np.ndarray:
     """Decode to float32 RGB [0,1] HWC (cv2.imread + BGR->RGB, /255 —
     matching ``ESRGAN/dataset.py:57-66``)."""
@@ -75,9 +86,10 @@ class TrainValidImageDataset:
         gt_image_size: int,
         mode: str = "Train",
         crop_image_size: int = 0,
+        shard: tuple[int, int] | str | None = "auto",
     ) -> None:
         assert mode in ("Train", "Valid")
-        self.paths = list_image_files(gt_images_dir)
+        self.paths = list_image_files(gt_images_dir, _resolve_shard(shard))
         if not self.paths:
             raise FileNotFoundError(f"no images in {gt_images_dir}")
         self.gt_image_size = gt_image_size
@@ -160,9 +172,15 @@ class DegeneratedImageDataset:
 class PairedImageDataset:
     """Registered GT/LR training pairs (``Real_ESRGAN/dataset.py:153-189``)."""
 
-    def __init__(self, gt_images_dir: str, lr_images_dir: str) -> None:
-        self.gt_paths = list_image_files(gt_images_dir)
-        self.lr_paths = list_image_files(lr_images_dir)
+    def __init__(
+        self,
+        gt_images_dir: str,
+        lr_images_dir: str,
+        shard: tuple[int, int] | str | None = "auto",
+    ) -> None:
+        shard = _resolve_shard(shard)
+        self.gt_paths = list_image_files(gt_images_dir, shard)
+        self.lr_paths = list_image_files(lr_images_dir, shard)
         assert len(self.gt_paths) == len(self.lr_paths)
 
     def __len__(self) -> int:

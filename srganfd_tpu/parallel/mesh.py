@@ -20,7 +20,10 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "batch_sharding", "replicated_sharding", "shard_batch"]
+__all__ = [
+    "make_mesh", "batch_sharding", "replicated_sharding", "shard_batch",
+    "global_batch_from_host",
+]
 
 
 def make_mesh(
@@ -54,3 +57,20 @@ def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
     """device_put a pytree of host arrays with the batch axis sharded."""
     sharding = batch_sharding(mesh, axis)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def global_batch_from_host(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
+    """Assemble the globally-sharded batch from THIS process's local shard.
+
+    Multi-host: every process passes its per-host batch (its shard of the
+    file list via ``list_image_files(shard=...)``); the global batch is
+    the process-order concatenation, with each device holding its slice —
+    ``jax.make_array_from_process_local_data`` wires local shards to the
+    mesh's addressable devices without any cross-host data movement.
+    Single-process this reduces to ``shard_batch``.
+    """
+    sharding = batch_sharding(mesh, axis)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        batch,
+    )
