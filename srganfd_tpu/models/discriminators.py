@@ -95,7 +95,7 @@ class DiscriminatorUNet(nn.Module):
         c = self.channels
         sn = lambda f, k, s: SNConv(f, kernel=k, stride=s, padding=1, dtype=self.dtype)
 
-        out1 = Conv(64, dtype=self.dtype)(x)
+        out1 = Conv(c, dtype=self.dtype)(x)
         down1 = lrelu(sn(c * 2, 4, 2)(out1, train))
         down2 = lrelu(sn(c * 4, 4, 2)(down1, train))
         down3 = lrelu(sn(c * 8, 4, 2)(down2, train))
@@ -131,7 +131,7 @@ class DiscriminatorUNetSA(nn.Module):
         sn = lambda f, k, s: SNConv(f, kernel=k, stride=s, padding=1, dtype=self.dtype)
         sa = lambda ch: TokenSelfAttention(ch, dtype=self.dtype, chunk_size=self.attn_chunk)
 
-        out1 = Conv(64, dtype=self.dtype)(x)
+        out1 = Conv(c, dtype=self.dtype)(x)
         down1 = lrelu(sn(c * 2, 4, 2)(out1, train))
         down2 = lrelu(sn(c * 4, 4, 2)(down1, train))
         down2, _ = sa(c * 4)(down2)
