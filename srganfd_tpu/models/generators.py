@@ -59,6 +59,8 @@ class RRDBNet(nn.Module):
     scan_blocks: bool = False
     remat: bool = False
     pallas: bool = False  # fused VMEM-resident RDB kernel (benchmark-gated)
+    superpixel: bool = False  # 2x2-block feature-packed trunk convs (full MXU lanes)
+    rdb_fused: bool = True  # False = the reference's literal 5-conv dataflow
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -66,7 +68,8 @@ class RRDBNet(nn.Module):
         conv = lambda f: Conv(f, scaled_init=True, dtype=self.dtype)
         out1 = conv(self.channels)(x)
         out = run_trunk(out1, self.channels, self.growth_channels, self.num_blocks,
-                        self.dtype, self.scan_blocks, self.remat, self.pallas)
+                        self.dtype, self.scan_blocks, self.remat, self.pallas,
+                        superpixel=self.superpixel, fused=self.rdb_fused)
         out = out1 + conv(self.channels)(out)
         for _ in range(int(math.log2(self.upscale_factor)) if self.upscale_factor > 1 else 0):
             out = lrelu(conv(self.channels)(upsample_nearest(out, 2)))
@@ -89,6 +92,8 @@ class BSRGAN(nn.Module):
     scan_blocks: bool = False
     remat: bool = False
     pallas: bool = False  # fused VMEM-resident RDB kernel (benchmark-gated)
+    superpixel: bool = False  # 2x2-block feature-packed trunk convs (full MXU lanes)
+    rdb_fused: bool = True  # False = the reference's literal 5-conv dataflow
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -96,7 +101,8 @@ class BSRGAN(nn.Module):
         conv = lambda f: Conv(f, scaled_init=True, dtype=self.dtype)
         out1 = conv(self.channels)(x)
         out = run_trunk(out1, self.channels, self.growth_channels, self.num_rrdb,
-                        self.dtype, self.scan_blocks, self.remat, self.pallas)
+                        self.dtype, self.scan_blocks, self.remat, self.pallas,
+                        superpixel=self.superpixel, fused=self.rdb_fused)
         out = out1 + conv(self.channels)(out)
         out = lrelu(conv(self.channels)(upsample_nearest(out, 2)))
         if self.upscale_factor == 4:
@@ -124,6 +130,8 @@ class BSRGANtrans(nn.Module):
     dtype: Any = jnp.float32
     scan_blocks: bool = False
     remat: bool = False
+    superpixel: bool = False
+    rdb_fused: bool = True
     attn_chunk: int = 0
 
     @nn.compact
@@ -132,7 +140,8 @@ class BSRGANtrans(nn.Module):
         conv = lambda f: Conv(f, scaled_init=True, dtype=self.dtype)
         out1 = conv(self.channels)(x)
         out = run_trunk(out1, self.channels, self.growth_channels, self.num_rrdb,
-                        self.dtype, self.scan_blocks, self.remat)
+                        self.dtype, self.scan_blocks, self.remat,
+                        superpixel=self.superpixel, fused=self.rdb_fused)
 
         out = lrelu(Conv(self.channels, stride=2, scaled_init=True, dtype=self.dtype)(out))
         n, h2, w2, c = out.shape
@@ -167,6 +176,8 @@ class RealESRGANNet(nn.Module):
     dtype: Any = jnp.float32
     scan_blocks: bool = False
     remat: bool = False
+    superpixel: bool = False
+    rdb_fused: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -178,7 +189,8 @@ class RealESRGANNet(nn.Module):
         conv = lambda f: Conv(f, scaled_init=True, dtype=self.dtype)
         out1 = conv(self.channels)(x)
         out = run_trunk(out1, self.channels, self.growth_channels, self.num_rrdb,
-                        self.dtype, self.scan_blocks, self.remat)
+                        self.dtype, self.scan_blocks, self.remat,
+                        superpixel=self.superpixel, fused=self.rdb_fused)
         out = out1 + conv(self.channels)(out)
         out = lrelu(conv(self.channels)(upsample_nearest(out, 2)))
         out = lrelu(conv(self.channels)(upsample_nearest(out, 2)))
