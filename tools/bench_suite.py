@@ -81,6 +81,7 @@ def bench_family(name: str) -> None:
         "batch_size": batch,
         "content_weight": (),  # no pretrained VGG19 in this image
         "compute_dtype": "bfloat16",
+        "fuse_d_forwards": True,  # perf opt-in, matching bench.py (PARITY item 7)
     }
     if arch:
         over.update({"g_arch": arch, "upscale_factor": up})
