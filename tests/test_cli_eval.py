@@ -71,3 +71,23 @@ def test_bucketed_metrics_match_exact_for_aligned_sizes(tmp_path, monkeypatch):
     a = run_eval(_make_args(gt_dir=str(d)))
     b = run_eval(_make_args(gt_dir=str(d), exact_shapes=True))
     assert a["avg"] == b["avg"]
+
+
+def test_paired_lr_bucketed_eval(tmp_path, monkeypatch):
+    """Paired GT/LR directories with mixed sizes: both sides bucket, SR is
+    shape-matched to the GT bucket, metrics stay exact on the valid
+    region and compiles stay bounded."""
+    rng = np.random.default_rng(2)
+    gt_d, lr_d = tmp_path / "gt", tmp_path / "lr"
+    gt_d.mkdir()
+    lr_d.mkdir()
+    for i, (h, w) in enumerate([(72, 88), (100, 120), (128, 128)]):
+        gt = (rng.uniform(0, 1, (h, w, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(str(gt_d / f"im{i}.png"), gt)
+        lr = cv2.resize(gt, (w // 4, h // 4), interpolation=cv2.INTER_CUBIC)
+        cv2.imwrite(str(lr_d / f"im{i}.png"), lr)
+    monkeypatch.chdir(tmp_path)
+    out = run_eval(_make_args(gt_dir=str(gt_d), lr_dir=str(lr_d)))
+    assert np.isfinite(out["avg"]["PSNR"]) and out["avg"]["PSNR"] > 5
+    # 3 distinct LR sizes -> at most 2 bucketed LR shapes ((32,32),(32,64)->..)
+    assert out["generator_compiles"] <= 2, out
