@@ -190,6 +190,13 @@ class ResidualDenseBlock(nn.Module):
             biases.append(self.param(f"conv{k}_bias", nn.initializers.zeros, (cout,), jnp.float32))
 
         if self.pallas and not self.is_initializing():
+            if int(self.pallas) >= 2:  # v2 whole-image batch-grouped kernel
+                from srganfd_tpu.ops.pallas.rdb import rdb_apply_v2
+
+                bt = next(t for t in (4, 2, 1) if x.shape[0] % t == 0)
+                return rdb_apply_v2(
+                    x.astype(self.dtype), tuple(kernels), tuple(biases), bt
+                ).astype(self.dtype)
             from srganfd_tpu.ops.pallas.rdb import rdb_apply
 
             h = x.shape[1]

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["rdb_forward_pallas"]
+__all__ = ["rdb_forward_pallas", "rdb_forward_pallas_v2", "rdb_apply", "rdb_apply_v2"]
 
 _MARGIN = 5  # five chained 3x3 convs consume one halo pixel each
 
@@ -167,6 +167,141 @@ def _rdb_apply_bwd(tile_h, residuals, g):
 
 
 rdb_apply.defvjp(_rdb_apply_fwd, _rdb_apply_bwd)
+
+
+# ---------------------------------------------------------------------------
+# v2: whole-image batch-grouped kernel (round-2 redesign)
+#
+# Round-1 postmortem (docs/tpu_performance.md "measured roofline case"):
+# the v1 kernel lost 62 vs 11 ms in-model. Three structural causes:
+# margin-5 tiles inflate compute ~1.7x and force per-layer halo masking;
+# the per-source dots run at K = source width (32 of a 128 K-tile = 25%
+# fill); and per-(batch, H-tile) grid cells make M small. v2 fixes all
+# three: tiles are whole zero-padded images (border re-zeroing IS the
+# 'same'-conv semantics, no masks), the three W-taps are im2col'ed into
+# one dot per row-tap (K = 3*cin: 75-100% fill), and each grid cell
+# carries several batch images (M = B_t*H*W = 4096).
+# ---------------------------------------------------------------------------
+
+
+def _rdb_v2_kernel(x_ref, *refs, ch: int, gc: int):
+    kern_refs = refs[:5]
+    bias_refs = refs[5:10]
+    out_ref = refs[10]
+
+    x_pad = x_ref[...]  # (B_t, H+2, W+2, ch), zero-padded borders
+    bt, hp, wp, _ = x_pad.shape
+    h, w = hp - 2, wp - 2
+    cdt = x_pad.dtype
+
+    offsets = [0, ch, ch + gc, ch + 2 * gc, ch + 3 * gc]
+    widths = [ch, gc, gc, gc, gc]
+    splits = [gc, gc, gc, gc, ch]
+
+    def conv_source(src_pad, wide_kern):
+        """3x3 'same' conv of a zero-padded (B_t, h+2, w+2, cin) tensor
+        against (3, 3, cin, n) -> (B_t*h*w, n) f32. One dot per row-tap;
+        the three column taps fold into K via channel concat."""
+        acc = None
+        for dy in range(3):
+            cols = [src_pad[:, dy : dy + h, dx : dx + w, :] for dx in range(3)]
+            im = jnp.concatenate(cols, axis=-1).reshape(bt * h * w, -1)
+            k2 = wide_kern[dy].reshape(-1, wide_kern.shape[-1])  # (3*cin, n)
+            part = jax.lax.dot_general(
+                im,
+                k2.astype(cdt),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = part if acc is None else acc + part
+        return acc
+
+    def pad_zero(t):
+        return jnp.pad(t, ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+    def contributions(s, src_pad):
+        parts = [
+            kern_refs[k][:, :, offsets[s] : offsets[s] + widths[s], :] for k in range(s, 5)
+        ]
+        wide = jnp.concatenate([p.astype(cdt) for p in parts], axis=3)
+        y = conv_source(src_pad, wide)
+        out = [None] * 5
+        start = 0
+        for k in range(s, 5):
+            out[k] = y[:, start : start + splits[k]]
+            start += splits[k]
+        return out
+
+    acc = contributions(0, x_pad)
+    for k in range(4):
+        y = acc[k] + bias_refs[k][:].astype(jnp.float32)
+        out_k = jnp.where(y >= 0, y, 0.2 * y).reshape(bt, h, w, splits[k])
+        contrib = contributions(k + 1, pad_zero(out_k.astype(cdt)))
+        for t in range(k + 1, 5):
+            acc[t] = acc[t] + contrib[t]
+    out5 = (acc[4] + bias_refs[4][:].astype(jnp.float32)).reshape(bt, h, w, ch)
+    center = x_pad[:, 1 : 1 + h, 1 : 1 + w, :].astype(jnp.float32)
+    out_ref[...] = (out5 * 0.2 + center).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("batch_tile", "interpret"))
+def rdb_forward_pallas_v2(
+    x: jax.Array,
+    kernels: list[jax.Array],
+    biases: list[jax.Array],
+    batch_tile: int = 4,
+    interpret: bool = False,
+) -> jax.Array:
+    """v2 fused RDB forward. x: (N, H, W, ch), N % batch_tile == 0."""
+    n, h, w, ch = x.shape
+    gc = kernels[0].shape[-1]
+    assert n % batch_tile == 0, "batch must divide batch_tile"
+    padded = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+    grid = (n // batch_tile,)
+    kern_specs = [
+        pl.BlockSpec(k.shape, lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM)
+        for k in kernels
+    ]
+    bias_specs = [
+        pl.BlockSpec(b.shape, lambda i: (0,), memory_space=pltpu.VMEM) for b in biases
+    ]
+    return pl.pallas_call(
+        functools.partial(_rdb_v2_kernel, ch=ch, gc=gc),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (batch_tile, h + 2, w + 2, ch), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            *kern_specs,
+            *bias_specs,
+        ],
+        out_specs=pl.BlockSpec(
+            (batch_tile, h, w, ch), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, ch), x.dtype),
+        interpret=interpret,
+    )(padded, *kernels, *biases)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def rdb_apply_v2(x, kernels, biases, batch_tile=4):
+    """Trainable v2 fused RDB: Pallas forward, rematerialized XLA backward."""
+    return rdb_forward_pallas_v2(x, list(kernels), list(biases), batch_tile=batch_tile)
+
+
+def _rdb_apply_v2_fwd(x, kernels, biases, batch_tile):
+    return rdb_apply_v2(x, kernels, biases, batch_tile), (x, kernels, biases)
+
+
+def _rdb_apply_v2_bwd(batch_tile, residuals, g):
+    x, kernels, biases = residuals
+    _, vjp_fn = jax.vjp(_rdb_xla, x, kernels, biases)
+    return vjp_fn(g)
+
+
+rdb_apply_v2.defvjp(_rdb_apply_v2_fwd, _rdb_apply_v2_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_h", "interpret"))

@@ -107,3 +107,58 @@ def test_filter2d_dispatcher_large_image_fallback(monkeypatch):
     monkeypatch.setattr(F, "_GEMM_MAX_EDGE", 8)
     fallback = np.asarray(F.filter2d(imgs, ks))  # depthwise path now
     np.testing.assert_allclose(fallback, full, atol=2e-6, rtol=1e-5)
+
+
+def test_rdb_v2_matches_flax_block():
+    import jax
+
+    from srganfd_tpu.models.blocks import ResidualDenseBlock
+    from srganfd_tpu.ops.pallas.rdb import rdb_forward_pallas_v2
+
+    ch, gc = 16, 8
+    block = ResidualDenseBlock(ch, gc)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(4, 16, 12, ch)).astype(np.float32))
+    params = block.init(jax.random.PRNGKey(0), x)["params"]
+    want = np.asarray(block.apply({"params": params}, x))
+    kernels_ = [jnp.asarray(params[f"conv{k}_kernel"]) for k in range(5)]
+    biases_ = [jnp.asarray(params[f"conv{k}_bias"]) for k in range(5)]
+    got = np.asarray(
+        rdb_forward_pallas_v2(x, kernels_, biases_, batch_tile=2, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, atol=3e-6, rtol=1e-5)
+
+
+def test_rdb_v2_custom_vjp_gradients():
+    import jax
+    from functools import partial
+
+    from srganfd_tpu.models.blocks import ResidualDenseBlock
+    from srganfd_tpu.ops.pallas import rdb as rdb_mod
+
+    ch, gc = 16, 8
+    block = ResidualDenseBlock(ch, gc)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, ch)).astype(np.float32))
+    params = block.init(jax.random.PRNGKey(0), x)["params"]
+    kernels_ = tuple(jnp.asarray(params[f"conv{k}_kernel"]) for k in range(5))
+    biases_ = tuple(jnp.asarray(params[f"conv{k}_bias"]) for k in range(5))
+
+    orig = rdb_mod.rdb_forward_pallas_v2
+    rdb_mod.rdb_forward_pallas_v2 = partial(orig, interpret=True)
+    try:
+        def loss_pallas(x_in, ks, bs):
+            return jnp.sum(rdb_mod.rdb_apply_v2(x_in, ks, bs, 2) ** 2)
+
+        def loss_flax(x_in, ks, bs):
+            p = {f"conv{k}_kernel": ks[k] for k in range(5)}
+            p.update({f"conv{k}_bias": bs[k] for k in range(5)})
+            return jnp.sum(block.apply({"params": p}, x_in) ** 2)
+
+        va, ga = jax.value_and_grad(loss_pallas, argnums=(0, 1, 2))(x, kernels_, biases_)
+        vb, gb = jax.value_and_grad(loss_flax, argnums=(0, 1, 2))(x, kernels_, biases_)
+        assert abs(float(va) - float(vb)) < 1e-3
+        for a, b in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3)
+    finally:
+        rdb_mod.rdb_forward_pallas_v2 = orig
