@@ -193,17 +193,30 @@ class ResidualDenseBlock(nn.Module):
             if int(self.pallas) >= 2:  # v2 whole-image batch-grouped kernel
                 from srganfd_tpu.ops.pallas.rdb import rdb_apply_v2
 
-                bt = next(t for t in (4, 2, 1) if x.shape[0] % t == 0)
-                return rdb_apply_v2(
-                    x.astype(self.dtype), tuple(kernels), tuple(biases), bt
-                ).astype(self.dtype)
-            from srganfd_tpu.ops.pallas.rdb import rdb_apply
+                # VMEM cap: the kernel keeps bt whole images (input, im2col
+                # staging, f32 accumulators) resident; measured on v5e,
+                # bt*H*W = 4096 crashes the Mosaic compile and 2048 is fine,
+                # so cap the working set there and fall through to the XLA
+                # dataflow when even bt=1 exceeds it.
+                hw = x.shape[1] * x.shape[2]
+                bt = next(
+                    (t for t in (4, 2, 1) if x.shape[0] % t == 0 and t * hw <= 2048),
+                    None,
+                )
+                if bt is not None:
+                    return rdb_apply_v2(
+                        x.astype(self.dtype), tuple(kernels), tuple(biases), bt
+                    ).astype(self.dtype)
+                # else: image too large for the VMEM-resident kernel — use
+                # the fused XLA dataflow below
+            else:
+                from srganfd_tpu.ops.pallas.rdb import rdb_apply
 
-            h = x.shape[1]
-            tile_h = next(t for t in (32, 16, 8, 4, 2, 1) if h % t == 0)
-            return rdb_apply(
-                x.astype(self.dtype), tuple(kernels), tuple(biases), tile_h
-            ).astype(self.dtype)
+                h = x.shape[1]
+                tile_h = next(t for t in (32, 16, 8, 4, 2, 1) if h % t == 0)
+                return rdb_apply(
+                    x.astype(self.dtype), tuple(kernels), tuple(biases), tile_h
+                ).astype(self.dtype)
 
         use_sp = self.superpixel and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
 

@@ -185,46 +185,49 @@ rdb_apply.defvjp(_rdb_apply_fwd, _rdb_apply_bwd)
 
 
 def _rdb_v2_kernel(x_ref, *refs, ch: int, gc: int):
-    kern_refs = refs[:5]
+    # refs: 5 per-source wide kernels (3, 3*w_s, n_s) — prebuilt OUTSIDE
+    # the kernel (Mosaic rejects both lane-axis concat and collapsing a
+    # major dim into sublanes, so neither the by-source slice+concat nor
+    # the (3, cin, n)->(3cin, n) reshape can happen in-kernel) — then 5
+    # biases, the output, and the im2col scratch.
+    wide_refs = refs[:5]
     bias_refs = refs[5:10]
     out_ref = refs[10]
+    im_ref = refs[11]  # VMEM scratch (B_t, h, w, 3*ch): im2col staging
+    seg_ref = refs[12]  # VMEM scratch (B_t, h+2, w+2, gc): padded out_k
 
-    x_pad = x_ref[...]  # (B_t, H+2, W+2, ch), zero-padded borders
-    bt, hp, wp, _ = x_pad.shape
+    bt, hp, wp, _ = x_ref.shape
     h, w = hp - 2, wp - 2
-    cdt = x_pad.dtype
+    cdt = x_ref.dtype
 
-    offsets = [0, ch, ch + gc, ch + 2 * gc, ch + 3 * gc]
-    widths = [ch, gc, gc, gc, gc]
     splits = [gc, gc, gc, gc, ch]
 
-    def conv_source(src_pad, wide_kern):
-        """3x3 'same' conv of a zero-padded (B_t, h+2, w+2, cin) tensor
-        against (3, 3, cin, n) -> (B_t*h*w, n) f32. One dot per row-tap;
-        the three column taps fold into K via channel concat."""
+    def conv_source(src_ref, wk_ref):
+        """3x3 'same' conv of a zero-padded (B_t, h+2, w+2, cin) REF
+        against a (3, 3*cin, n) wide kernel -> (B_t*h*w, n) f32. One dot
+        per row-tap; the three column taps fold into K by staging the
+        shifted slices into lane ranges of the im2col scratch. Sources
+        must be refs: Mosaic rejects W-shifted slices of computed values,
+        but handles ref loads at arbitrary offsets."""
+        cin = src_ref.shape[-1]
         acc = None
         for dy in range(3):
-            cols = [src_pad[:, dy : dy + h, dx : dx + w, :] for dx in range(3)]
-            im = jnp.concatenate(cols, axis=-1).reshape(bt * h * w, -1)
-            k2 = wide_kern[dy].reshape(-1, wide_kern.shape[-1])  # (3*cin, n)
+            for dx in range(3):
+                im_ref[:, :, :, dx * cin : (dx + 1) * cin] = src_ref[
+                    :, dy : dy + h, dx : dx + w, :
+                ]
+            im = im_ref[:, :, :, : 3 * cin].reshape(bt * h * w, 3 * cin)
             part = jax.lax.dot_general(
                 im,
-                k2.astype(cdt),
+                wk_ref[dy].astype(cdt),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             acc = part if acc is None else acc + part
         return acc
 
-    def pad_zero(t):
-        return jnp.pad(t, ((0, 0), (1, 1), (1, 1), (0, 0)))
-
-    def contributions(s, src_pad):
-        parts = [
-            kern_refs[k][:, :, offsets[s] : offsets[s] + widths[s], :] for k in range(s, 5)
-        ]
-        wide = jnp.concatenate([p.astype(cdt) for p in parts], axis=3)
-        y = conv_source(src_pad, wide)
+    def contributions(s, src_ref):
+        y = conv_source(src_ref, wide_refs[s])
         out = [None] * 5
         start = 0
         for k in range(s, 5):
@@ -232,15 +235,19 @@ def _rdb_v2_kernel(x_ref, *refs, ch: int, gc: int):
             start += splits[k]
         return out
 
-    acc = contributions(0, x_pad)
+    # borders of the out_k staging buffer stay zero across all four uses
+    seg_ref[...] = jnp.zeros((bt, hp, wp, gc), cdt)
+
+    acc = contributions(0, x_ref)
     for k in range(4):
         y = acc[k] + bias_refs[k][:].astype(jnp.float32)
         out_k = jnp.where(y >= 0, y, 0.2 * y).reshape(bt, h, w, splits[k])
-        contrib = contributions(k + 1, pad_zero(out_k.astype(cdt)))
+        seg_ref[:, 1 : 1 + h, 1 : 1 + w, :] = out_k.astype(cdt)
+        contrib = contributions(k + 1, seg_ref)
         for t in range(k + 1, 5):
             acc[t] = acc[t] + contrib[t]
     out5 = (acc[4] + bias_refs[4][:].astype(jnp.float32)).reshape(bt, h, w, ch)
-    center = x_pad[:, 1 : 1 + h, 1 : 1 + w, :].astype(jnp.float32)
+    center = x_ref[:, 1 : 1 + h, 1 : 1 + w, :].astype(jnp.float32)
     out_ref[...] = (out5 * 0.2 + center).astype(out_ref.dtype)
 
 
@@ -258,10 +265,23 @@ def rdb_forward_pallas_v2(
     assert n % batch_tile == 0, "batch must divide batch_tile"
     padded = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
 
+    # prebuild the by-source wide kernels as (3, 3*w_s, n_s): source s's
+    # input-channel rows of every conv k >= s, dx-major K layout matching
+    # the kernel's im2col staging order
+    offsets = [0, ch, ch + gc, ch + 2 * gc, ch + 3 * gc]
+    widths = [ch, gc, gc, gc, gc]
+    wides = []
+    for s in range(5):
+        parts = [
+            kernels[k][:, :, offsets[s] : offsets[s] + widths[s], :] for k in range(s, 5)
+        ]
+        wide = jnp.concatenate(parts, axis=3)  # (3, 3, w_s, n_s)
+        wides.append(wide.reshape(3, 3 * widths[s], wide.shape[-1]))
+
     grid = (n // batch_tile,)
     kern_specs = [
-        pl.BlockSpec(k.shape, lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM)
-        for k in kernels
+        pl.BlockSpec(k.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+        for k in wides
     ]
     bias_specs = [
         pl.BlockSpec(b.shape, lambda i: (0,), memory_space=pltpu.VMEM) for b in biases
@@ -281,8 +301,12 @@ def rdb_forward_pallas_v2(
             (batch_tile, h, w, ch), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n, h, w, ch), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((batch_tile, h, w, 3 * ch), x.dtype),
+            pltpu.VMEM((batch_tile, h + 2, w + 2, gc), x.dtype),
+        ],
         interpret=interpret,
-    )(padded, *kernels, *biases)
+    )(padded, *wides, *biases)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))

@@ -162,3 +162,24 @@ def test_rdb_v2_custom_vjp_gradients():
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3)
     finally:
         rdb_mod.rdb_forward_pallas_v2 = orig
+
+
+def test_rdb_pallas2_large_image_falls_back_to_xla():
+    """pallas=2 with H*W beyond the VMEM cap (bt*H*W > 2048 even at bt=1)
+    must take the fused XLA dataflow: on CPU a real (non-interpret)
+    pallas_call would raise, so plain success + parity with pallas=False
+    proves the fall-through."""
+    import jax
+
+    from srganfd_tpu.models.blocks import ResidualDenseBlock
+
+    ch, gc = 16, 8
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 48, 48, ch)).astype(np.float32))  # 2304 px
+    ref_block = ResidualDenseBlock(ch, gc)
+    params = ref_block.init(jax.random.PRNGKey(0), x)["params"]
+    want = np.asarray(ref_block.apply({"params": params}, x))
+    got = np.asarray(
+        ResidualDenseBlock(ch, gc, pallas=2).apply({"params": params}, x)
+    )
+    np.testing.assert_allclose(got, want, atol=3e-6, rtol=1e-5)
