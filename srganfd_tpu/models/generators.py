@@ -63,13 +63,20 @@ class RRDBNet(nn.Module):
     rdb_fused: bool = True  # False = the reference's literal 5-conv dataflow
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, trunk_fn: Any = None) -> jax.Array:
+        # trunk_fn: externally-scheduled trunk (pipeline parallelism,
+        # parallel/pipeline.py) applied to out1 in place of run_trunk;
+        # non-trunk layer names are unaffected (the trunk is an
+        # explicitly-named submodule outside the auto-name counters).
         x = x.astype(self.dtype)
         conv = lambda f: Conv(f, scaled_init=True, dtype=self.dtype)
         out1 = conv(self.channels)(x)
-        out = run_trunk(out1, self.channels, self.growth_channels, self.num_blocks,
-                        self.dtype, self.scan_blocks, self.remat, self.pallas,
-                        superpixel=self.superpixel, fused=self.rdb_fused)
+        if trunk_fn is not None:
+            out = trunk_fn(out1)
+        else:
+            out = run_trunk(out1, self.channels, self.growth_channels, self.num_blocks,
+                            self.dtype, self.scan_blocks, self.remat, self.pallas,
+                            superpixel=self.superpixel, fused=self.rdb_fused)
         out = out1 + conv(self.channels)(out)
         for _ in range(int(math.log2(self.upscale_factor)) if self.upscale_factor > 1 else 0):
             out = lrelu(conv(self.channels)(upsample_nearest(out, 2)))
@@ -96,13 +103,17 @@ class BSRGAN(nn.Module):
     rdb_fused: bool = True  # False = the reference's literal 5-conv dataflow
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, trunk_fn: Any = None) -> jax.Array:
+        # trunk_fn: see RRDBNet.__call__ (pipeline parallelism hook).
         x = x.astype(self.dtype)
         conv = lambda f: Conv(f, scaled_init=True, dtype=self.dtype)
         out1 = conv(self.channels)(x)
-        out = run_trunk(out1, self.channels, self.growth_channels, self.num_rrdb,
-                        self.dtype, self.scan_blocks, self.remat, self.pallas,
-                        superpixel=self.superpixel, fused=self.rdb_fused)
+        if trunk_fn is not None:
+            out = trunk_fn(out1)
+        else:
+            out = run_trunk(out1, self.channels, self.growth_channels, self.num_rrdb,
+                            self.dtype, self.scan_blocks, self.remat, self.pallas,
+                            superpixel=self.superpixel, fused=self.rdb_fused)
         out = out1 + conv(self.channels)(out)
         out = lrelu(conv(self.channels)(upsample_nearest(out, 2)))
         if self.upscale_factor == 4:
@@ -180,7 +191,8 @@ class RealESRGANNet(nn.Module):
     rdb_fused: bool = True
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, trunk_fn: Any = None) -> jax.Array:
+        # trunk_fn: see RRDBNet.__call__ (pipeline parallelism hook).
         x = x.astype(self.dtype)
         if self.upscale_factor == 2:
             x = pixel_unshuffle(x, 2)
@@ -188,9 +200,12 @@ class RealESRGANNet(nn.Module):
             x = pixel_unshuffle(x, 4)
         conv = lambda f: Conv(f, scaled_init=True, dtype=self.dtype)
         out1 = conv(self.channels)(x)
-        out = run_trunk(out1, self.channels, self.growth_channels, self.num_rrdb,
-                        self.dtype, self.scan_blocks, self.remat,
-                        superpixel=self.superpixel, fused=self.rdb_fused)
+        if trunk_fn is not None:
+            out = trunk_fn(out1)
+        else:
+            out = run_trunk(out1, self.channels, self.growth_channels, self.num_rrdb,
+                            self.dtype, self.scan_blocks, self.remat,
+                            superpixel=self.superpixel, fused=self.rdb_fused)
         out = out1 + conv(self.channels)(out)
         out = lrelu(conv(self.channels)(upsample_nearest(out, 2)))
         out = lrelu(conv(self.channels)(upsample_nearest(out, 2)))
