@@ -131,7 +131,7 @@ def run_train(
         train_loader = BatchLoader(
             train_ds, cfg.batch_size, shuffle=True, seed=cfg.seed, num_workers=cfg.num_workers
         )
-    trainer = Trainer(cfg, steps_per_epoch=spe)
+    trainer = Trainer(cfg, steps_per_epoch=spe, mesh=mesh)
     train_adapter = DegradationAdapter(cfg, seed=cfg.seed, train=True)
     valid_adapter = DegradationAdapter(cfg, seed=cfg.seed + 1, train=True)
 

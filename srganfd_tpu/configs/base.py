@@ -96,6 +96,11 @@ class ExperimentConfig:
     # parallelism
     mesh_shape: tuple[int, ...] = (-1,)  # -1 = all local devices on 'data'
     mesh_axes: tuple[str, ...] = ("data",)
+    # with a 'pipe' mesh axis (e.g. mesh_shape=(-1, 2),
+    # mesh_axes=('data', 'pipe')) the generator's RRDB trunk is depth-
+    # staged over it (parallel/pipeline.py; requires scan_blocks=True in
+    # g_kwargs). 0 = one microbatch per pipeline stage.
+    pipeline_microbatches: int = 0
 
     def replace(self, **kw: Any) -> "ExperimentConfig":
         return dataclasses.replace(self, **kw)

@@ -77,10 +77,35 @@ class Trainer:
     """Builds models/optimizers from an ExperimentConfig and exposes jitted
     ``train_step`` / ``eval_sr`` functions."""
 
-    def __init__(self, cfg: ExperimentConfig, steps_per_epoch: int = 1000) -> None:
+    def __init__(
+        self, cfg: ExperimentConfig, steps_per_epoch: int = 1000, mesh: Any = None
+    ) -> None:
         self.cfg = cfg
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         self.g_model = create_model(cfg.g_arch, dtype=dtype, **cfg.g_kwargs)
+        # pipeline parallelism: a 'pipe' mesh axis stages the RRDB trunk's
+        # depth (parallel/pipeline.py); every other axis layout leaves the
+        # generator untouched.
+        self._pp = None
+        if mesh is not None and "pipe" in mesh.axis_names:
+            if not getattr(self.g_model, "scan_blocks", False):
+                raise ValueError(
+                    "a 'pipe' mesh axis needs the scanned trunk layout: set "
+                    "g_kwargs={'scan_blocks': True} (RRDB-trunk generators only)"
+                )
+            from srganfd_tpu.models.blocks import RRDB
+
+            self._pp = {
+                "mesh": mesh,
+                "batch_axis": "data" if "data" in mesh.axis_names else None,
+                "microbatches": cfg.pipeline_microbatches or mesh.shape["pipe"],
+                "block": RRDB(
+                    self.g_model.channels,
+                    self.g_model.growth_channels,
+                    dtype,
+                    fused=self.g_model.rdb_fused,
+                ),
+            }
         self.d_model = (
             create_model(cfg.d_arch, dtype=dtype, **cfg.d_kwargs) if cfg.d_arch else None
         )
@@ -142,7 +167,45 @@ class Trainer:
 
     # -- pieces ---------------------------------------------------------------
 
+    def _pp_divides(self, n: int) -> bool:
+        pp = self._pp
+        if n % pp["microbatches"]:
+            return False
+        mb = n // pp["microbatches"]
+        dp = pp["mesh"].shape[pp["batch_axis"]] if pp["batch_axis"] else 1
+        return mb % dp == 0
+
     def _g_apply(self, params: Any, lr_img: jax.Array) -> jax.Array:
+        # batches that don't divide into microbatches (e.g. batch-1 eval),
+        # or whose microbatch doesn't divide over the data axis, fall
+        # through to the sequential trunk — the branch is static per
+        # trace, and params stay the FULL tree either way (the pp split is
+        # internal), so optimizer/EMA/checkpoints are layout-agnostic.
+        if self._pp is not None and self._pp_divides(lr_img.shape[0]):
+            from srganfd_tpu.parallel.pipeline import (
+                pad_stages,
+                pipelined_trunk_apply,
+            )
+
+            pp = self._pp
+            nontrunk = {k: v for k, v in params.items() if k != "ScanRRDB"}
+            padded, mask = pad_stages(
+                params["ScanRRDB"]["RRDB_0"], pp["mesh"].shape["pipe"]
+            )
+            block = pp["block"]
+
+            def trunk_fn(out1):
+                return pipelined_trunk_apply(
+                    lambda p, h: block.apply({"params": p}, h),
+                    padded,
+                    mask,
+                    out1,
+                    pp["mesh"],
+                    microbatches=pp["microbatches"],
+                    batch_axis=pp["batch_axis"],
+                )
+
+            return self.g_model.apply({"params": nontrunk}, lr_img, trunk_fn=trunk_fn)
         return self.g_model.apply({"params": params}, lr_img)
 
     def _d_apply(

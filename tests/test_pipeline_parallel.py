@@ -121,6 +121,67 @@ def test_pipeline_composes_with_data_parallelism(eight_devices):
     np.testing.assert_allclose(np.asarray(sr_pp), np.asarray(sr_ref), atol=1e-6, rtol=1e-6)
 
 
+def test_trainer_pipe_mesh_step_matches_plain(eight_devices):
+    """Full GAN train step with a (data, pipe) mesh Trainer == the plain
+    Trainer's step (params stay one full tree; the pp split is internal),
+    and batch-1 eval falls back to the sequential trunk."""
+    from srganfd_tpu.configs import get_config
+    from srganfd_tpu.train.loop import Trainer
+
+    cfg = get_config("bsrgan").replace(
+        compute_dtype="float32",
+        content_weight=(),
+        g_kwargs={
+            "channels": 8, "growth_channels": 4, "num_rrdb": 5,
+            "scan_blocks": True,
+        },
+        mesh_shape=(2, 4),
+        mesh_axes=("data", "pipe"),
+        pipeline_microbatches=2,
+    )
+    mesh = make_mesh((2, 4), ("data", "pipe"), devices=eight_devices)
+    rng = np.random.default_rng(7)
+    sf = cfg.upscale_factor
+    gt = jnp.asarray(rng.uniform(size=(8, 16, 16, 3)).astype(np.float32))
+    lr = gt[:, ::sf, ::sf, :]
+
+    tr_ref = Trainer(cfg, steps_per_epoch=10)
+    tr_pp = Trainer(cfg, steps_per_epoch=10, mesh=mesh)
+
+    # identical init; separate states (train_step donates its input)
+    s_ref = tr_ref.init_state(jax.random.PRNGKey(0), lr.shape, gt.shape)
+    s_pp = tr_pp.init_state(jax.random.PRNGKey(0), lr.shape, gt.shape)
+    s_ref, m_ref = tr_ref.train_step(s_ref, gt, lr)
+    s_pp, m_pp = tr_pp.train_step(s_pp, gt, lr)
+
+    for key in ("g_loss", "d_loss", "pixel_loss"):
+        np.testing.assert_allclose(
+            float(m_pp[key]), float(m_ref[key]), atol=1e-5, rtol=1e-5
+        )
+    got = dict(jax.tree_util.tree_leaves_with_path(s_pp.g_params))
+    for path, a in jax.tree_util.tree_leaves_with_path(s_ref.g_params):
+        np.testing.assert_allclose(
+            np.asarray(got[path]), np.asarray(a), atol=1e-5, rtol=1e-4
+        )
+
+    # batch-1 eval: 1 % microbatches != 0 -> sequential fallback, same output
+    one = lr[:1]
+    np.testing.assert_allclose(
+        np.asarray(tr_pp.eval_sr(s_pp.g_params, one)),
+        np.asarray(tr_ref.eval_sr(s_ref.g_params, one)),
+        atol=1e-5,
+        rtol=1e-5,
+    )
+
+    # misconfiguration: pipe axis without the scanned trunk layout
+    bad = cfg.replace(g_kwargs={"channels": 8, "growth_channels": 4, "num_rrdb": 5})
+    try:
+        Trainer(bad, steps_per_epoch=10, mesh=mesh)
+        raise AssertionError("expected ValueError for unscanned trunk")
+    except ValueError as e:
+        assert "scan_blocks" in str(e)
+
+
 def test_pad_stages_divisible_is_identity():
     stacked = {"k": jnp.arange(12.0).reshape(4, 3)}
     padded, mask = pad_stages(stacked, 4)
