@@ -146,13 +146,19 @@ class BSRGANtrans(nn.Module):
     attn_chunk: int = 0
 
     @nn.compact
-    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, deterministic: bool = True, trunk_fn: Any = None
+    ) -> jax.Array:
+        # trunk_fn: see RRDBNet.__call__ (pipeline parallelism hook).
         x = x.astype(self.dtype)
         conv = lambda f: Conv(f, scaled_init=True, dtype=self.dtype)
         out1 = conv(self.channels)(x)
-        out = run_trunk(out1, self.channels, self.growth_channels, self.num_rrdb,
-                        self.dtype, self.scan_blocks, self.remat,
-                        superpixel=self.superpixel, fused=self.rdb_fused)
+        if trunk_fn is not None:
+            out = trunk_fn(out1)
+        else:
+            out = run_trunk(out1, self.channels, self.growth_channels, self.num_rrdb,
+                            self.dtype, self.scan_blocks, self.remat,
+                            superpixel=self.superpixel, fused=self.rdb_fused)
 
         out = lrelu(Conv(self.channels, stride=2, scaled_init=True, dtype=self.dtype)(out))
         n, h2, w2, c = out.shape

@@ -182,6 +182,22 @@ def test_trainer_pipe_mesh_step_matches_plain(eight_devices):
         assert "scan_blocks" in str(e)
 
 
+def test_pipelined_bsrgantrans_forward(eight_devices):
+    """The transformer-bottleneck family accepts the pp hook too."""
+    mesh = make_mesh((4,), ("pipe",), devices=eight_devices[:4])
+    model = create_model(
+        "bsrgantrans_x2", channels=8, growth_channels=4, num_rrdb=3,
+        scan_blocks=True,
+    )
+    params, lr = _init(model, batch=4, size=8)
+    apply_fn, nontrunk, padded, _ = pipelined_generator_apply(
+        model, params, mesh, microbatches=2
+    )
+    sr_ref = model.apply({"params": params}, lr)
+    sr_pp = jax.jit(apply_fn)(nontrunk, padded, lr)
+    np.testing.assert_allclose(np.asarray(sr_pp), np.asarray(sr_ref), atol=1e-6, rtol=1e-6)
+
+
 def test_pad_stages_divisible_is_identity():
     stacked = {"k": jnp.arange(12.0).reshape(4, 3)}
     padded, mask = pad_stages(stacked, 4)
