@@ -102,6 +102,11 @@ class ExperimentConfig:
     # g_kwargs). 0 = one microbatch per pipeline stage.
     pipeline_microbatches: int = 0
 
+    # training guards beyond the reference (both off by default so the
+    # reference's exact optimizer semantics remain the baseline)
+    grad_clip_norm: float = 0.0  # >0: clip grads by global norm (G and D)
+    skip_nonfinite_updates: bool = False  # drop inf/nan update steps
+
     def replace(self, **kw: Any) -> "ExperimentConfig":
         return dataclasses.replace(self, **kw)
 

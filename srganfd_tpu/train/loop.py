@@ -123,21 +123,31 @@ class Trainer:
         )
 
         milestones = tuple(m * steps_per_epoch for m in cfg.milestones_epochs)
-        self.g_tx = optax.adamw(
-            multistep_lr(cfg.model_lr, milestones, cfg.lr_scheduler_gamma),
-            b1=cfg.model_betas[0],
-            b2=cfg.model_betas[1],
-            eps=cfg.model_eps,
-            weight_decay=cfg.model_weight_decay,
-        )
-        d_lr = cfg.discriminator_lr or cfg.model_lr
-        self.d_tx = optax.adamw(
-            multistep_lr(d_lr, milestones, cfg.lr_scheduler_gamma),
-            b1=cfg.model_betas[0],
-            b2=cfg.model_betas[1],
-            eps=cfg.model_eps,
-            weight_decay=cfg.model_weight_decay,
-        )
+
+        def tx(lr):
+            # reference optimizer (Adam + MultiStepLR) with two production
+            # guards the reference lacks, both off by default:
+            # grad_clip_norm > 0 clips the global norm; skip_nonfinite_updates
+            # drops inf/nan update steps instead of poisoning the params
+            # (the optimizer state update is skipped too).
+            chain = [
+                optax.adamw(
+                    multistep_lr(lr, milestones, cfg.lr_scheduler_gamma),
+                    b1=cfg.model_betas[0],
+                    b2=cfg.model_betas[1],
+                    eps=cfg.model_eps,
+                    weight_decay=cfg.model_weight_decay,
+                )
+            ]
+            if cfg.grad_clip_norm:
+                chain.insert(0, optax.clip_by_global_norm(cfg.grad_clip_norm))
+            opt = optax.chain(*chain) if len(chain) > 1 else chain[0]
+            if cfg.skip_nonfinite_updates:
+                opt = optax.apply_if_finite(opt, max_consecutive_errors=10**6)
+            return opt
+
+        self.g_tx = tx(cfg.model_lr)
+        self.d_tx = tx(cfg.discriminator_lr or cfg.model_lr)
         self._train_step = None
         self._fused_step_cache: dict[tuple, Callable] = {}
 

@@ -131,6 +131,55 @@ def test_data_parallel_step_on_mesh(eight_devices):
     assert np.isfinite(np.asarray(leaf)).all()
 
 
+def test_skip_nonfinite_updates_guard():
+    """A poisoned (NaN) batch must leave params bit-identical with the
+    guard on; without it the params are destroyed. Reference has no such
+    protection (a NaN loss poisons torch params silently)."""
+    base = _tiny(get_config("rrdbnet"))
+    gt, lr = _batch(np.random.default_rng(5), 2, 16, 4)
+    # poison the INPUT: a NaN in gt alone can yield finite grads (the
+    # output clamp zero-masks saturated pixels), but a NaN input floods
+    # the forward, so every grad leaf is nonfinite.
+    lr = lr.at[0, 0, 0, 0].set(jnp.nan)
+
+    def step(cfg):
+        tr = Trainer(cfg, steps_per_epoch=10)
+        state = tr.init_state(jax.random.PRNGKey(5), lr.shape, gt.shape)
+        before = jax.tree_util.tree_map(np.asarray, state.g_params)
+        state, metrics = tr.train_step(state, gt, lr)
+        return before, jax.tree_util.tree_map(np.asarray, state.g_params), metrics
+
+    cfg_g = base.replace(
+        g_kwargs={**base.g_kwargs, "num_blocks": 1}, skip_nonfinite_updates=True
+    )
+    before, after, metrics = step(cfg_g)
+    assert not np.isfinite(float(metrics["pixel_loss"]))  # loss IS nan...
+    for a, b in zip(jax.tree_util.tree_leaves(before), jax.tree_util.tree_leaves(after)):
+        np.testing.assert_array_equal(a, b)  # ...but params are untouched
+
+    cfg_bad = base.replace(g_kwargs={**base.g_kwargs, "num_blocks": 1})
+    _, after_bad, _ = step(cfg_bad)
+    assert any(
+        not np.isfinite(l).all() for l in jax.tree_util.tree_leaves(after_bad)
+    )  # without the guard the NaN propagates into params
+
+
+def test_grad_clip_norm_inactive_when_large():
+    """A clip threshold far above the true grad norm must not change the
+    update (the chain wiring preserves reference optimizer semantics)."""
+    base = _tiny(get_config("rrdbnet"))
+    gt, lr = _batch(np.random.default_rng(6), 2, 16, 4)
+    outs = {}
+    for clip in (0.0, 1e9):
+        cfg = base.replace(g_kwargs={**base.g_kwargs, "num_blocks": 1}, grad_clip_norm=clip)
+        tr = Trainer(cfg, steps_per_epoch=10)
+        state = tr.init_state(jax.random.PRNGKey(6), lr.shape, gt.shape)
+        state, _ = tr.train_step(state, gt, lr)
+        outs[clip] = jax.tree_util.tree_leaves(state.g_params)
+    for a, b in zip(outs[0.0], outs[1e9]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7, rtol=1e-7)
+
+
 def test_multistep_schedule():
     from srganfd_tpu.train.schedule import multistep_lr
 
