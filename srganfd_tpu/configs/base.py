@@ -107,6 +107,13 @@ class ExperimentConfig:
     grad_clip_norm: float = 0.0  # >0: clip grads by global norm (G and D)
     skip_nonfinite_updates: bool = False  # drop inf/nan update steps
 
+    # gradient accumulation: each update phase scans the batch in this
+    # many chunks and averages grads before one optimizer step — the
+    # single-chip route to the reference's multi-GPU effective batches
+    # (e.g. Real-ESRGAN's batch 48 on 4xA100). Exact for mean-type
+    # losses; see PARITY.md for the batch-coupled caveats.
+    grad_accum_steps: int = 1
+
     def replace(self, **kw: Any) -> "ExperimentConfig":
         return dataclasses.replace(self, **kw)
 

@@ -279,44 +279,93 @@ class Trainer:
                 return tuple(h[0] for h in halves), tuple(h[1] for h in halves)
             return out[:n], out[n:]
 
+        # gradient accumulation (grad_accum_steps > 1): each update phase
+        # scans its batch in chunks, averaging grads before the single
+        # optimizer step — the single-chip route to the reference's
+        # multi-GPU effective batches. Exactly linear for mean-type losses
+        # (pixel/content/plain BCE); per-chunk divergences exist only where
+        # the loss or state is batch-coupled (relativistic opponent means,
+        # BN batch stats, SN power-iteration cadence) — see PARITY.md.
+        accum = max(1, int(cfg.grad_accum_steps))
+
+        def _chunk(x):
+            if x.shape[0] % accum:
+                raise ValueError(
+                    f"batch {x.shape[0]} not divisible by grad_accum_steps {accum}"
+                )
+            return x.reshape(accum, x.shape[0] // accum, *x.shape[1:])
+
+        def _unchunk(x):
+            return x.reshape(x.shape[0] * x.shape[1], *x.shape[2:])
+
+        _zeros = lambda tree: jax.tree_util.tree_map(jnp.zeros_like, tree)
+        _add = lambda a, b: jax.tree_util.tree_map(jnp.add, a, b)
+        _mean_of = lambda tree: jax.tree_util.tree_map(
+            lambda v: jnp.mean(v, axis=0), tree
+        )
+
         def d_update(state: GanTrainState, gt: jax.Array, sr_detached: jax.Array):
             # BatchNorm Ds (ESRGAN's VGG-128) must keep the reference's two
             # forwards: fusing would pool real+fake batch statistics.
             fuse = cfg.fuse_d_forwards and not (state.d_vars and "batch_stats" in state.d_vars)
 
-            def d_loss_fn(d_params, d_vars):
-                if fuse:
-                    both, d_vars = self._d_apply(
-                        d_params, d_vars, jnp.concatenate([gt, sr_detached], axis=0),
-                        update_stats=True,
-                    )
-                    gt_out, sr_out = _split_scales(both, gt.shape[0])
-                else:
-                    gt_out, d_vars = self._d_apply(d_params, d_vars, gt, update_stats=True)
-                    sr_out, d_vars = self._d_apply(
-                        d_params, d_vars, sr_detached, update_stats=True
-                    )
-                if cfg.relativistic_gan:
-                    loss = relativistic_d_loss(gt_out, sr_out)
-                else:
-                    loss = _bce_scales(gt_out, 1.0) + _bce_scales(sr_out, 0.0)
-                aux = {
-                    "d_loss": loss,
-                    "d_gt_probability": _mean_sigmoid(gt_out),
-                    "d_sr_probability": _mean_sigmoid(sr_out),
-                    "d_vars": d_vars,
-                }
-                return loss, aux
+            def make_d_loss(gt_b, sr_b):
+                def d_loss_fn(d_params, d_vars):
+                    if fuse:
+                        both, d_vars = self._d_apply(
+                            d_params, d_vars, jnp.concatenate([gt_b, sr_b], axis=0),
+                            update_stats=True,
+                        )
+                        gt_out, sr_out = _split_scales(both, gt_b.shape[0])
+                    else:
+                        gt_out, d_vars = self._d_apply(d_params, d_vars, gt_b, update_stats=True)
+                        sr_out, d_vars = self._d_apply(
+                            d_params, d_vars, sr_b, update_stats=True
+                        )
+                    if cfg.relativistic_gan:
+                        loss = relativistic_d_loss(gt_out, sr_out)
+                    else:
+                        loss = _bce_scales(gt_out, 1.0) + _bce_scales(sr_out, 0.0)
+                    aux = {
+                        "d_loss": loss,
+                        "d_gt_probability": _mean_sigmoid(gt_out),
+                        "d_sr_probability": _mean_sigmoid(sr_out),
+                        "d_vars": d_vars,
+                    }
+                    return loss, aux
 
-            (_, aux), grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
-                state.d_params, state.d_vars
-            )
+                return d_loss_fn
+
+            if accum == 1:
+                (_, aux), grads = jax.value_and_grad(
+                    make_d_loss(gt, sr_detached), has_aux=True
+                )(state.d_params, state.d_vars)
+                d_vars_new = aux.pop("d_vars")
+            else:
+
+                def body(carry, xs):
+                    d_vars, gsum = carry
+                    gt_i, sr_i = xs
+                    (_, aux_i), g_i = jax.value_and_grad(
+                        make_d_loss(gt_i, sr_i), has_aux=True
+                    )(state.d_params, d_vars)
+                    d_vars = aux_i.pop("d_vars")
+                    return (d_vars, _add(gsum, g_i)), aux_i
+
+                (d_vars_new, gsum), auxs = jax.lax.scan(
+                    body,
+                    (state.d_vars, _zeros(state.d_params)),
+                    (_chunk(gt), _chunk(sr_detached)),
+                )
+                grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
+                aux = _mean_of(auxs)
+
             updates, d_opt_state = self.d_tx.update(
                 grads, state.d_opt_state, state.d_params
             )
             d_params = optax.apply_updates(state.d_params, updates)
             state = state.replace(
-                d_params=d_params, d_opt_state=d_opt_state, d_vars=aux.pop("d_vars")
+                d_params=d_params, d_opt_state=d_opt_state, d_vars=d_vars_new
             )
             return state, aux
 
@@ -328,13 +377,37 @@ class Trainer:
             # ``fwd`` lets the D-first families reuse the forward they fed to
             # the discriminator update (valid: the D update leaves g_params
             # untouched, so the recomputation would be value-identical).
-            sr, g_vjp = fwd if fwd is not None else g_fwd(state, lr_img)
+            if accum == 1:
+                sr, g_vjp = fwd if fwd is not None else g_fwd(state, lr_img)
 
-            def loss_wrt_sr(sr_in):
-                return g_losses(sr_in, gt_pixel, state.d_params, state.d_vars)
+                def loss_wrt_sr(sr_in):
+                    return g_losses(sr_in, gt_pixel, state.d_params, state.d_vars)
 
-            (_, parts), sr_grad = jax.value_and_grad(loss_wrt_sr, has_aux=True)(sr)
-            (g_grads,) = g_vjp(sr_grad)
+                (_, parts), sr_grad = jax.value_and_grad(loss_wrt_sr, has_aux=True)(sr)
+                (g_grads,) = g_vjp(sr_grad)
+                sr = jax.lax.stop_gradient(sr)
+            else:
+                # per-chunk vjp forwards: residuals live only for one chunk
+                # (the memory point of accumulation); grads average exactly
+                # for the mean-type losses.
+                def body(gsum, xs):
+                    gt_i, lr_i = xs
+                    sr_i, vjp_i = jax.vjp(
+                        lambda p: self._g_apply(p, lr_i), state.g_params
+                    )
+                    (_, parts_i), srg = jax.value_and_grad(
+                        lambda s: g_losses(s, gt_i, state.d_params, state.d_vars),
+                        has_aux=True,
+                    )(sr_i)
+                    (g_i,) = vjp_i(srg)
+                    return _add(gsum, g_i), (parts_i, jax.lax.stop_gradient(sr_i))
+
+                gsum, (parts_st, srs) = jax.lax.scan(
+                    body, _zeros(state.g_params), (_chunk(gt_pixel), _chunk(lr_img))
+                )
+                g_grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
+                parts = _mean_of(parts_st)
+                sr = _unchunk(srs)
             updates, g_opt_state = self.g_tx.update(g_grads, state.g_opt_state, state.g_params)
             g_params = optax.apply_updates(state.g_params, updates)
             ema = ema_update(state.ema_g_params, g_params, cfg.model_ema_decay)
@@ -344,7 +417,7 @@ class Trainer:
                 ema_g_params=ema,
                 step=state.step + 1,
             )
-            return state, parts, jax.lax.stop_gradient(sr)
+            return state, parts, sr
 
         def step_impl(state: GanTrainState, gt: jax.Array, lr_img: jax.Array, gt_pixel: jax.Array):
             metrics: dict[str, jax.Array] = {}
@@ -363,8 +436,16 @@ class Trainer:
                 # BSRGAN/A-ESRGAN: D update on old-G sr, then G update whose
                 # adversarial term sees the new D (train_bsrgan.py:406-471).
                 # One G forward total: the vjp forward feeds both updates.
-                fwd = g_fwd(state, lr_img)
-                state, d_aux = d_update(state, gt, jax.lax.stop_gradient(fwd[0]))
+                # Under accumulation the shared vjp would pin full-batch
+                # residuals, so the D phase uses a residual-free forward
+                # instead (value-identical: g_params are still the old ones).
+                if accum == 1:
+                    fwd = g_fwd(state, lr_img)
+                    state, d_aux = d_update(state, gt, jax.lax.stop_gradient(fwd[0]))
+                else:
+                    fwd = None
+                    sr_d = jax.lax.stop_gradient(self._g_apply(state.g_params, lr_img))
+                    state, d_aux = d_update(state, gt, sr_d)
                 metrics.update(d_aux)
                 state, parts, _ = g_update(state, gt_pixel, lr_img, fwd=fwd)
                 metrics.update(parts)

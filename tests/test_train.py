@@ -180,6 +180,66 @@ def test_grad_clip_norm_inactive_when_large():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7, rtol=1e-7)
 
 
+def test_grad_accum_exact_for_generator_only():
+    """L1 pretrain: mean-of-chunk-grads == full-batch grads, so the
+    accumulated step must match the full step to fp tolerance."""
+    base = _tiny(get_config("rrdbnet"))
+    gt, lr = _batch(np.random.default_rng(8), 4, 16, 4)
+    outs = {}
+    for accum in (1, 2):
+        cfg = base.replace(g_kwargs={**base.g_kwargs, "num_blocks": 1}, grad_accum_steps=accum)
+        tr = Trainer(cfg, steps_per_epoch=10)
+        state = tr.init_state(jax.random.PRNGKey(8), lr.shape, gt.shape)
+        state, metrics = tr.train_step(state, gt, lr)
+        outs[accum] = (state, metrics)
+    np.testing.assert_allclose(
+        float(outs[2][1]["pixel_loss"]), float(outs[1][1]["pixel_loss"]), rtol=1e-6
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(outs[1][0].g_params),
+        jax.tree_util.tree_leaves(outs[2][0].g_params),
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6, rtol=1e-5)
+
+
+def test_grad_accum_gan_step_close_to_full():
+    """Full D-first GAN step under accumulation: pixel/content grads are
+    exactly linear; the SN power-iteration cadence (one iteration per
+    chunk forward instead of per batch forward) is the only divergence,
+    so the updated params stay close to the full-batch step."""
+    base = _tiny(get_config("bsrgan"))
+    sf = base.upscale_factor
+    gt, lr = _batch(np.random.default_rng(9), 4, 16, sf)
+    outs = {}
+    for accum in (1, 2):
+        cfg = base.replace(
+            g_kwargs={**base.g_kwargs, "num_rrdb": 1},
+            content_weight=(),
+            grad_accum_steps=accum,
+        )
+        tr = Trainer(cfg, steps_per_epoch=10)
+        state = tr.init_state(jax.random.PRNGKey(9), lr.shape, gt.shape)
+        state, metrics = tr.train_step(state, gt, lr)
+        outs[accum] = (state, metrics)
+    for key in ("g_loss", "d_loss", "pixel_loss"):
+        np.testing.assert_allclose(
+            float(outs[2][1][key]), float(outs[1][1][key]), rtol=5e-2, atol=5e-4
+        )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(outs[1][0].g_params),
+        jax.tree_util.tree_leaves(outs[2][0].g_params),
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=5e-2, atol=5e-4)
+    # batch not divisible by accum fails loudly at trace time
+    cfg = base.replace(
+        g_kwargs={**base.g_kwargs, "num_rrdb": 1}, content_weight=(), grad_accum_steps=3
+    )
+    tr = Trainer(cfg, steps_per_epoch=10)
+    state = tr.init_state(jax.random.PRNGKey(9), lr.shape, gt.shape)
+    with pytest.raises(ValueError, match="grad_accum_steps"):
+        tr.train_step(state, gt, lr)
+
+
 def test_multistep_schedule():
     from srganfd_tpu.train.schedule import multistep_lr
 
