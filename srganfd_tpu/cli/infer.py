@@ -41,6 +41,24 @@ def build_model(arch: str):
     return create_model(arch)
 
 
+def _image_hw(path: str) -> tuple[int, int]:
+    """(H, W) from the image header only — bucketing a long frame sequence
+    must not pay a full decode per frame (the batch loop decodes once)."""
+    try:
+        from PIL import Image
+
+        with Image.open(path) as im:
+            w, h = im.size
+        return (h, w)
+    except Exception:
+        import cv2
+
+        img = cv2.imread(path)
+        if img is None:
+            raise ValueError(f"unreadable image: {path}")
+        return img.shape[:2]
+
+
 def run_sequence(
     apply_fn,
     params,
@@ -63,10 +81,7 @@ def run_sequence(
     os.makedirs(out_dir, exist_ok=True)
     by_shape: dict[tuple, list[str]] = collections.defaultdict(list)
     for p in paths:
-        img = cv2.imread(p)
-        if img is None:
-            raise ValueError(f"unreadable image: {p}")
-        by_shape[img.shape[:2]].append(p)
+        by_shape[_image_hw(p)].append(p)
 
     def write_results(sr_dev, batch_paths):
         sr_np = np.asarray(sr_dev)  # the only blocking fetch

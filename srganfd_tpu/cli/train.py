@@ -188,14 +188,25 @@ def run_train(
         cfg.degradation == "bsrgan"
         and os.environ.get("SRGANFD_FUSE_STEP", "0") == "1"
     )
+    if fuse_step and jax.process_count() > 1:
+        # the fused path ships per-sample plan operands sized to the LOCAL
+        # batch; under multi-host the gt batch is assembled globally, so the
+        # operands would mismatch (and differ per process). Fall back.
+        print("! SRGANFD_FUSE_STEP ignored under multi-host (plan operands are per-host)")
+        fuse_step = False
     if fuse_step:
         from srganfd_tpu.ops.degrade import bsrgan_lr_size, plan_bsrgan_batch
 
         print("degradation fused into the train step (SRGANFD_FUSE_STEP=1)")
 
+    # multi-host: every process runs the (collective) train/validate programs
+    # symmetrically, but only process 0 writes — tracker sinks, checkpoints,
+    # and best-model selection would otherwise race/diverge per host (each
+    # process validates its own data shard).
+    is_main = jax.process_index() == 0
     tracker = Tracker(cfg.experience_name or cfg.exp_name or cfg.name, cfg.run_name, cfg.run_id,
                       samples_dir=cfg.samples_dir, tags=cfg.tags or None,
-                      description=cfg.description)
+                      description=cfg.description, enabled=is_main)
     tracker.log_params({k: v for k, v in vars(cfg).items() if not k.startswith("_")})
 
     lpips_fn = None
@@ -218,7 +229,8 @@ def run_train(
 
     def _save_and_exit(signum, frame):  # pragma: no cover - signal path
         print(f"signal {signum}: writing preemption checkpoint", flush=True)
-        ckpt.save_checkpoint(ckpt_dir, state, epoch, best, is_best=False, name="ckpt_preempt")
+        if is_main:
+            ckpt.save_checkpoint(ckpt_dir, state, epoch, best, is_best=False, name="ckpt_preempt")
         raise SystemExit(128 + signum)
 
     try:
@@ -273,7 +285,7 @@ def run_train(
                     {f"Train/{k}": float(v) for k, v in metrics.items()}, global_step
                 )
             end = time.time()
-            if save_every_steps and global_step and global_step % save_every_steps == 0:
+            if is_main and save_every_steps and global_step and global_step % save_every_steps == 0:
                 ckpt.save_checkpoint(ckpt_dir, state, epoch, best, is_best=False, name="ckpt_step")
             global_step += 1
         if profile_dir and epoch == start_epoch:
@@ -312,13 +324,14 @@ def run_train(
         best["psnr"] = max(best["psnr"], psnr)
         best["ssim"] = max(best["ssim"], ssim)
         best["lpips"] = min(best["lpips"], vm["lpips"])
-        ckpt.save_checkpoint(ckpt_dir, state, epoch, best, is_best)
-        # model artifacts under the reference's names (the orbax snapshot
-        # holds g + ema_g + d together; the reference logs three torch
-        # models — BSRGAN/train_bsrgan.py:201-214)
-        if is_best:
-            tracker.log_artifact_dir(os.path.join(ckpt_dir, "ckpt_best"), "best_g_model")
-        tracker.log_artifact_dir(os.path.join(ckpt_dir, "ckpt_last"), "last_g_model")
+        if is_main:
+            ckpt.save_checkpoint(ckpt_dir, state, epoch, best, is_best)
+            # model artifacts under the reference's names (the orbax snapshot
+            # holds g + ema_g + d together; the reference logs three torch
+            # models — BSRGAN/train_bsrgan.py:201-214)
+            if is_best:
+                tracker.log_artifact_dir(os.path.join(ckpt_dir, "ckpt_best"), "best_g_model")
+            tracker.log_artifact_dir(os.path.join(ckpt_dir, "ckpt_last"), "last_g_model")
     tracker.close()
     return {"best_psnr": best["psnr"], "best_ssim": best["ssim"], "state": state}
 

@@ -13,6 +13,7 @@ Python ``BatchLoader``.
 from __future__ import annotations
 
 import ctypes
+import os
 import pathlib
 import shutil
 import subprocess
@@ -84,10 +85,14 @@ def _load(build_if_missing: bool = True):
             rebuilt = True
             # dlopen dedupes loaded objects by inode and the linker may
             # truncate in place, so the stale image could shadow the fresh
-            # build at the canonical path — load via a unique temp copy.
+            # build at the canonical path — load via a unique temp copy
+            # (removed at interpreter exit; the mapping stays valid).
+            import atexit
+
             tmp = tempfile.NamedTemporaryFile(suffix=".so", delete=False)
             tmp.close()
             shutil.copy2(_LIB_PATH, tmp.name)
+            atexit.register(lambda p=tmp.name: os.unlink(p) if os.path.exists(p) else None)
             path = tmp.name
     _lib = lib
     return lib

@@ -48,7 +48,25 @@ __all__ = [
     "pipelined_trunk_apply",
     "split_trunk_params",
     "pipelined_generator_apply",
+    "pipelined_full_apply",
+    "trunk_block",
 ]
+
+
+def trunk_block(model: Any):
+    """The model's single-RRDB module with ALL of the model's trunk
+    dataflow flags (fused/superpixel/pallas) — the one place the pp code
+    reconstructs a block, so a new trunk flag is added here once."""
+    from srganfd_tpu.models.blocks import RRDB
+
+    return RRDB(
+        model.channels,
+        model.growth_channels,
+        model.dtype,
+        fused=getattr(model, "rdb_fused", True),
+        superpixel=getattr(model, "superpixel", False),
+        pallas=getattr(model, "pallas", False),
+    )
 
 
 def split_trunk_params(params: dict) -> tuple[dict, Any]:
@@ -180,6 +198,43 @@ def pipelined_trunk_apply(
     return out.reshape(n, *x.shape[1:])
 
 
+def pipelined_full_apply(
+    model: Any,
+    mesh: Mesh,
+    *,
+    axis: str = "pipe",
+    microbatches: int | None = None,
+    batch_axis: str | None = None,
+) -> Callable[[dict, jax.Array], jax.Array]:
+    """``apply(full_params, x) -> sr`` with the trunk pipelined.
+
+    Unlike :func:`pipelined_generator_apply`, the param tree stays WHOLE —
+    split/pad happen inside the trace — so optimizer, EMA, and checkpoint
+    layouts are unchanged; this is the form the Trainer uses.
+    """
+    block = trunk_block(model)
+
+    def apply_fn(params: dict, x: jax.Array) -> jax.Array:
+        nontrunk, stacked = split_trunk_params(params)
+        padded, mask = pad_stages(stacked, mesh.shape[axis])
+
+        def trunk_fn(out1):
+            return pipelined_trunk_apply(
+                lambda p, h: block.apply({"params": p}, h),
+                padded,
+                mask,
+                out1,
+                mesh,
+                axis=axis,
+                microbatches=microbatches,
+                batch_axis=batch_axis,
+            )
+
+        return model.apply({"params": nontrunk}, x, trunk_fn=trunk_fn)
+
+    return apply_fn
+
+
 def pipelined_generator_apply(
     model: Any,
     params: dict,
@@ -203,14 +258,10 @@ def pipelined_generator_apply(
     ``jax.grad`` of a loss over both trees drive pipelined *training*:
     each device receives exactly its own stage's gradients.
     """
-    from srganfd_tpu.models.blocks import RRDB
-
     nontrunk, stacked = split_trunk_params(params)
     padded, mask = pad_stages(stacked, mesh.shape[axis])
 
-    channels = model.channels
-    growth = model.growth_channels
-    block = RRDB(channels, growth, model.dtype, fused=model.rdb_fused)
+    block = trunk_block(model)
 
     def block_apply(p, h):
         return block.apply({"params": p}, h)

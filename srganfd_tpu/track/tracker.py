@@ -50,17 +50,24 @@ class Tracker:
         use_tensorboard: bool = True,
         tags: Any = None,
         description: str = "",
+        enabled: bool = True,
     ) -> None:
+        """``enabled=False`` turns every sink into a no-op — used by
+        non-zero processes in multi-host training so tracker files and
+        MLflow runs aren't raced/duplicated per host."""
+        self.enabled = enabled
         self.dir = os.path.join(samples_dir, "logs", experience_name or "default")
+        self._jsonl = None
+        self._tb = None
+        self._mlflow_active = False
+        self.run_id = run_id
+        if not enabled:
+            return
         os.makedirs(self.dir, exist_ok=True)
         self._jsonl = open(os.path.join(self.dir, "events.jsonl"), "a")
-
-        self._tb = None
         if use_tensorboard and SummaryWriter is not None:
             self._tb = SummaryWriter(self.dir)
 
-        self._mlflow_active = False
-        self.run_id = run_id
         if use_mlflow and mlflow is not None:
             name = experience_name or "default"
             try:
@@ -74,7 +81,7 @@ class Tracker:
             kwargs = dict(
                 run_id=run_id or None,
                 run_name=run_name or None,
-                tags=tags or None,
+                tags=_normalize_tags(tags),
                 description=description or None,
             )
             try:
@@ -109,6 +116,8 @@ class Tracker:
 
     def log_image(self, image: np.ndarray, name: str) -> None:
         """image: HWC RGB float [0,1] or uint8."""
+        if not self.enabled:
+            return
         path = os.path.join(self.dir, name.replace("/", "_"))
         if not path.lower().endswith((".png", ".jpg")):
             path += ".png"
@@ -122,6 +131,8 @@ class Tracker:
             mlflow.log_image(image, name if "." in name else name + ".png")
 
     def log_dict(self, payload: dict[str, Any], name: str) -> None:
+        if not self.enabled:
+            return
         path = os.path.join(self.dir, name if name.endswith(".json") else name + ".json")
         with open(path, "w") as f:
             json.dump({k: _plain(v) for k, v in payload.items()}, f, indent=2)
@@ -134,7 +145,8 @@ class Tracker:
             mlflow.log_artifacts(path, name)
 
     def close(self) -> None:
-        self._jsonl.close()
+        if self._jsonl is not None:
+            self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
         if self._mlflow_active:
@@ -143,9 +155,28 @@ class Tracker:
     # -- internals --------------------------------------------------------------
 
     def _write(self, record: dict[str, Any]) -> None:
+        if self._jsonl is None:
+            return
         record["ts"] = time.time()
         self._jsonl.write(json.dumps(record) + "\n")
         self._jsonl.flush()
+
+
+def _normalize_tags(tags: Any) -> dict | None:
+    """mlflow.start_run requires Dict[str, str] tags; the configs (like the
+    reference's ``bsrgan_config.py:75``) declare ``tags`` as a string.
+    Accept both: parse "k=v,k2=v2" strings, wrap a bare string as
+    {"tag": s}, pass dicts through."""
+    if not tags:
+        return None
+    if isinstance(tags, dict):
+        return tags
+    if isinstance(tags, str):
+        if "=" in tags:
+            pairs = (item.split("=", 1) for item in tags.split(",") if "=" in item)
+            return {k.strip(): v.strip() for k, v in pairs}
+        return {"tag": tags}
+    return {"tag": str(tags)}
 
 
 def _plain(v: Any) -> Any:

@@ -93,17 +93,17 @@ class Trainer:
                     "a 'pipe' mesh axis needs the scanned trunk layout: set "
                     "g_kwargs={'scan_blocks': True} (RRDB-trunk generators only)"
                 )
-            from srganfd_tpu.models.blocks import RRDB
+            from srganfd_tpu.parallel.pipeline import pipelined_full_apply
 
+            batch_axis = "data" if "data" in mesh.axis_names else None
+            microbatches = cfg.pipeline_microbatches or mesh.shape["pipe"]
             self._pp = {
                 "mesh": mesh,
-                "batch_axis": "data" if "data" in mesh.axis_names else None,
-                "microbatches": cfg.pipeline_microbatches or mesh.shape["pipe"],
-                "block": RRDB(
-                    self.g_model.channels,
-                    self.g_model.growth_channels,
-                    dtype,
-                    fused=self.g_model.rdb_fused,
+                "batch_axis": batch_axis,
+                "microbatches": microbatches,
+                "apply": pipelined_full_apply(
+                    self.g_model, mesh,
+                    microbatches=microbatches, batch_axis=batch_axis,
                 ),
             }
         self.d_model = (
@@ -192,30 +192,7 @@ class Trainer:
         # trace, and params stay the FULL tree either way (the pp split is
         # internal), so optimizer/EMA/checkpoints are layout-agnostic.
         if self._pp is not None and self._pp_divides(lr_img.shape[0]):
-            from srganfd_tpu.parallel.pipeline import (
-                pad_stages,
-                pipelined_trunk_apply,
-            )
-
-            pp = self._pp
-            nontrunk = {k: v for k, v in params.items() if k != "ScanRRDB"}
-            padded, mask = pad_stages(
-                params["ScanRRDB"]["RRDB_0"], pp["mesh"].shape["pipe"]
-            )
-            block = pp["block"]
-
-            def trunk_fn(out1):
-                return pipelined_trunk_apply(
-                    lambda p, h: block.apply({"params": p}, h),
-                    padded,
-                    mask,
-                    out1,
-                    pp["mesh"],
-                    microbatches=pp["microbatches"],
-                    batch_axis=pp["batch_axis"],
-                )
-
-            return self.g_model.apply({"params": nontrunk}, lr_img, trunk_fn=trunk_fn)
+            return self._pp["apply"](params, lr_img)
         return self.g_model.apply({"params": params}, lr_img)
 
     def _d_apply(

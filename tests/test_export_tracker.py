@@ -49,3 +49,30 @@ def test_jsonl_tracker(tmp_path):
     kinds = {l["type"] for l in lines}
     assert {"params", "metrics", "image"} <= kinds
     assert os.path.exists(os.path.join(str(tmp_path), "logs", "exp", "metrics.json"))
+
+
+def test_tracker_disabled_is_noop(tmp_path):
+    """enabled=False (non-zero processes in multi-host training) must not
+    create files or raise from any logging call."""
+    from srganfd_tpu.track.tracker import Tracker
+
+    t = Tracker("exp2", samples_dir=str(tmp_path), enabled=False)
+    t.log_params({"lr": 1e-4})
+    t.log_metrics({"Train/g_loss": 0.5}, step=1)
+    t.log_image(np.zeros((4, 4, 3), np.float32), "sample")
+    t.log_dict({"PSNR": 30.0}, "metrics")
+    t.log_artifact_dir(str(tmp_path), "best_g_model")
+    t.close()
+    assert not os.path.exists(os.path.join(str(tmp_path), "logs", "exp2"))
+
+
+def test_normalize_tags():
+    """mlflow.start_run needs Dict[str,str]; configs (like the reference's
+    bsrgan_config.py:75) declare tags as a string."""
+    from srganfd_tpu.track.tracker import _normalize_tags
+
+    assert _normalize_tags("") is None
+    assert _normalize_tags(None) is None
+    assert _normalize_tags({"a": "b"}) == {"a": "b"}
+    assert _normalize_tags("ablation") == {"tag": "ablation"}
+    assert _normalize_tags("k=v, k2 = v2") == {"k": "v", "k2": "v2"}

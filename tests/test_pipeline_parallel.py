@@ -202,3 +202,17 @@ def test_pad_stages_divisible_is_identity():
     stacked = {"k": jnp.arange(12.0).reshape(4, 3)}
     padded, mask = pad_stages(stacked, 4)
     assert padded["k"].shape == (4, 3) and bool(mask.all())
+
+
+def test_pipelined_full_apply_matches_sequential(eight_devices):
+    """The whole-tree form (the Trainer's path): split/pad inside the
+    trace, output identical to the unsharded model."""
+    from srganfd_tpu.parallel.pipeline import pipelined_full_apply
+
+    mesh = make_mesh((4,), ("pipe",), devices=eight_devices[:4])
+    model = _tiny_model()
+    params, lr = _init(model)
+    apply_fn = pipelined_full_apply(model, mesh, microbatches=2)
+    sr_ref = model.apply({"params": params}, lr)
+    sr_pp = jax.jit(apply_fn)(params, lr)
+    np.testing.assert_allclose(np.asarray(sr_pp), np.asarray(sr_ref), atol=1e-6, rtol=1e-6)
