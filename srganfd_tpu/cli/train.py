@@ -194,10 +194,21 @@ def run_train(
         # operands would mismatch (and differ per process). Fall back.
         print("! SRGANFD_FUSE_STEP ignored under multi-host (plan operands are per-host)")
         fuse_step = False
+    superstep = 1
     if fuse_step:
         from srganfd_tpu.ops.degrade import bsrgan_lr_size, plan_bsrgan_batch
 
         print("degradation fused into the train step (SRGANFD_FUSE_STEP=1)")
+        # K-step dispatch: scan K whole train steps (each with its own
+        # degradation chain) inside ONE jitted program, amortizing the
+        # tunnel's fixed per-dispatch latency K-fold. Steps buffer per
+        # static degradation branch (scale2 on/off x interp), so execution
+        # order across branches shifts slightly; each (batch, plan) pair is
+        # preserved and per-step numerics are exact. Logged metrics are
+        # means over each K-step dispatch.
+        superstep = max(1, int(os.environ.get("SRGANFD_STEPS_PER_DISPATCH", "1")))
+        if superstep > 1:
+            print(f"K-step fused dispatch: {superstep} train steps per device dispatch")
 
     # multi-host: every process runs the (collective) train/validate programs
     # symmetrically, but only process 0 writes — tracker sinks, checkpoints,
@@ -241,6 +252,8 @@ def run_train(
     it = iter(train_loader)
     global_step = start_epoch * spe
     epoch = start_epoch
+    metrics: dict = {}
+    fuse_buffers: dict[tuple, list] = {}
     for epoch in range(start_epoch, cfg.epochs):
         if profile_dir and epoch == start_epoch:
             jax.profiler.start_trace(profile_dir)
@@ -262,9 +275,20 @@ def run_train(
                 lefts = train_adapter.rng.integers(0, lim + 1, n)
                 data_time.update(time.time() - end)
                 gt_raw = to_global({"gt": host_batch["gt"]})["gt"]
-                state, metrics = trainer.bsrgan_fused_train_step(
-                    state, gt_raw, plan, tops, lefts, cfg.gt_image_size
-                )
+                if superstep == 1:
+                    state, metrics = trainer.bsrgan_fused_train_step(
+                        state, gt_raw, plan, tops, lefts, cfg.gt_image_size
+                    )
+                else:
+                    skey = (plan.scale2, plan.scale2_interp, plan.effective_upscale)
+                    buf = fuse_buffers.setdefault(skey, [])
+                    buf.append((gt_raw, plan, tops, lefts))
+                    if len(buf) == superstep:
+                        gts, plans, topss, leftss = zip(*buf)
+                        state, metrics = trainer.bsrgan_fused_train_multi_step(
+                            state, gts, plans, topss, leftss, cfg.gt_image_size
+                        )
+                        buf.clear()
             else:
                 batch = to_global(train_adapter(host_batch, global_step))
                 data_time.update(time.time() - end)
@@ -276,7 +300,8 @@ def run_train(
                     state, metrics = step_fn(state, batch["gt"], batch["lr"])
             # materialize metrics (a device sync) only at print frequency —
             # pulling them every step would serialize host and device
-            if i % cfg.train_print_frequency == 0:
+            # (empty metrics = K-step buffering hasn't dispatched yet)
+            if metrics and i % cfg.train_print_frequency == 0:
                 g_key = "g_loss" if "g_loss" in metrics else "pixel_loss"
                 g_loss_m.update(float(metrics[g_key]))
                 batch_time.update(time.time() - end)
@@ -288,6 +313,14 @@ def run_train(
             if is_main and save_every_steps and global_step and global_step % save_every_steps == 0:
                 ckpt.save_checkpoint(ckpt_dir, state, epoch, best, is_best=False, name="ckpt_step")
             global_step += 1
+        # flush buffered K-step groups before validating (keeps per-epoch
+        # step counts exact; leftovers run as single fused dispatches)
+        for buf in fuse_buffers.values():
+            for gt_b, plan_b, tops_b, lefts_b in buf:
+                state, metrics = trainer.bsrgan_fused_train_step(
+                    state, gt_b, plan_b, tops_b, lefts_b, cfg.gt_image_size
+                )
+            buf.clear()
         if profile_dir and epoch == start_epoch:
             jax.block_until_ready(jax.tree_util.tree_leaves(state.g_params)[0])
             jax.profiler.stop_trace()

@@ -499,6 +499,78 @@ class Trainer:
             jnp.asarray(lefts),
         )
 
+    def _fused_bsrgan_multi_step(
+        self, scale2: bool, scale2_interp: int, effective_upscale: int,
+        gt_size: int, n_steps: int,
+    ) -> Callable:
+        key = (scale2, scale2_interp, effective_upscale, gt_size, n_steps)
+        cached = self._fused_step_cache.get(key)
+        if cached is not None:
+            return cached
+
+        from srganfd_tpu.ops.degrade import _apply_chain_cropped
+
+        step = self.train_step
+        sf = self.cfg.upscale_factor
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def fused_multi(state, gt_raws, kas, kbs, jqs, japplys, fjqs, poss, topss, leftss):
+            def body(st, xs):
+                gt_raw, ka, kb, jq, japply, fjq, pos, tops, lefts = xs
+                gt_c, lr_c = _apply_chain_cropped(
+                    gt_raw, ka, kb, jq, japply, fjq, pos, tops, lefts,
+                    0, True, scale2, scale2_interp, effective_upscale, gt_size, sf,
+                )
+                return step(st, gt_c, lr_c)
+
+            state_out, ms = jax.lax.scan(
+                body, state,
+                (gt_raws, kas, kbs, jqs, japplys, fjqs, poss, topss, leftss),
+            )
+            return state_out, jax.tree_util.tree_map(lambda v: jnp.mean(v, axis=0), ms)
+
+        self._fused_step_cache[key] = fused_multi
+        return fused_multi
+
+    def bsrgan_fused_train_multi_step(
+        self, state, gt_raws, plans, tops_list, lefts_list, gt_size: int
+    ):
+        """K train steps (each with its own degradation chain + crop) as ONE
+        jitted ``lax.scan`` program — one device dispatch per K steps. On
+        remote-execution tunnels with ~0.1-0.25 s fixed cost per dispatch
+        this amortizes the host side K-fold over :meth:`bsrgan_fused_train_step`.
+
+        All K plans must share the same static branch
+        ``(scale2, scale2_interp, effective_upscale)`` — the caller groups
+        steps by that key (srganfd_tpu/cli/train.py). Returned metrics are
+        the MEAN over the K steps. Numerics per step are identical to K
+        sequential fused steps (pinned by
+        tests/test_train.py::test_bsrgan_fused_multi_step_matches_sequential).
+        """
+        import numpy as np_
+
+        first = plans[0]
+        skey = (first.scale2, first.scale2_interp, first.effective_upscale)
+        if any((p.scale2, p.scale2_interp, p.effective_upscale) != skey for p in plans):
+            raise ValueError("all plans in a multi-step dispatch must share the static branch")
+        fused = self._fused_bsrgan_multi_step(*skey, gt_size, len(plans))
+
+        def stack(xs):
+            return jnp.asarray(np_.stack([np_.asarray(x) for x in xs]))
+
+        return fused(
+            state,
+            stack(gt_raws),
+            stack([p.kernels_a for p in plans]),
+            stack([p.kernels_b for p in plans]),
+            stack([p.jpeg_quality for p in plans]),
+            stack([p.jpeg_apply for p in plans]),
+            stack([p.final_jpeg_quality for p in plans]),
+            stack([p.jpeg_pos for p in plans]),
+            stack(tops_list),
+            stack(lefts_list),
+        )
+
     # -- eval -----------------------------------------------------------------
 
     @functools.cached_property

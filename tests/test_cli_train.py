@@ -48,3 +48,32 @@ def test_run_train_minimum_slice(data_dirs, tmp_path, monkeypatch):
     # tracker wrote events
     logs = list((tmp_path / "samples" / "logs").rglob("events.jsonl"))
     assert logs and os.path.getsize(logs[0]) > 0
+
+
+def test_run_train_superstep_fused(data_dirs, tmp_path, monkeypatch):
+    """SRGANFD_FUSE_STEP=1 + SRGANFD_STEPS_PER_DISPATCH=2: buffered K-step
+    dispatches (and the odd-step end-of-epoch flush) train end-to-end."""
+    train_dir, valid_dir = data_dirs
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("SRGANFD_FUSE_STEP", "1")
+    monkeypatch.setenv("SRGANFD_STEPS_PER_DISPATCH", "2")
+    monkeypatch.setenv("SRGANFD_NATIVE_LOADER", "0")
+    cfg = get_config(
+        "bsrgan",
+        train_gt_images_dir=train_dir,
+        valid_gt_images_dir=valid_dir,
+        epochs=1,
+        batch_size=2,
+        gt_image_size=16,
+        crop_image_size=48,
+        upscale_factor=2,
+        g_arch="bsrgan_x2",
+        compute_dtype="float32",
+        content_weight=(),
+        g_kwargs={"channels": 8, "growth_channels": 4, "num_rrdb": 1},
+        d_kwargs={"channels": 8},
+    )
+    out = run_train(cfg, steps_per_epoch=3)  # odd: exercises the flush path
+    assert np.isfinite(out["best_psnr"]) and out["best_psnr"] > 0
+    ckpt_dir = tmp_path / "results" / cfg.exp_name
+    assert (ckpt_dir / "ckpt_last").exists()

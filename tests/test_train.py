@@ -342,3 +342,54 @@ def test_bsrgan_fused_degraded_step_matches_composed():
     lb = jax.tree_util.tree_leaves(state_b.g_params)
     for a, b in zip(la, lb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_bsrgan_fused_multi_step_matches_sequential():
+    """K scanned fused steps in ONE dispatch == K sequential fused
+    dispatches (exact per-step numerics; returned metrics are the mean)."""
+    from srganfd_tpu.ops.degrade import plan_bsrgan_batch
+
+    cfg = _tiny(get_config("bsrgan"))
+    cfg = cfg.replace(
+        g_kwargs={**cfg.g_kwargs, "num_rrdb": 1},
+        content_weight=(),
+        gt_image_size=16,
+        upscale_factor=2,
+        g_arch="bsrgan_x2",
+    )
+    rng = np.random.default_rng(13)
+    raws, plans, topss, leftss = [], [], [], []
+    for _ in range(2):
+        raws.append(rng.integers(0, 256, (2, 48, 48, 3)).astype(np.uint8))
+        plans.append(plan_bsrgan_batch(rng, 2, 2, scale2_prob=0.0, per_sample_order=True))
+        topss.append(rng.integers(0, 5, 2))
+        leftss.append(rng.integers(0, 5, 2))
+
+    tr_a = Trainer(cfg, steps_per_epoch=10)
+    state_a = tr_a.init_state(jax.random.PRNGKey(9), (2, 8, 8, 3), (2, 16, 16, 3))
+    state_a, m_a = tr_a.bsrgan_fused_train_multi_step(state_a, raws, plans, topss, leftss, 16)
+
+    tr_b = Trainer(cfg, steps_per_epoch=10)
+    state_b = tr_b.init_state(jax.random.PRNGKey(9), (2, 8, 8, 3), (2, 16, 16, 3))
+    ms = []
+    for raw, plan, tops, lefts in zip(raws, plans, topss, leftss):
+        state_b, m = tr_b.bsrgan_fused_train_step(state_b, raw, plan, tops, lefts, 16)
+        ms.append(m)
+
+    for k in m_a:
+        want = float(np.mean([float(m[k]) for m in ms]))
+        np.testing.assert_allclose(float(m_a[k]), want, rtol=1e-5, atol=1e-6, err_msg=k)
+    la = jax.tree_util.tree_leaves(state_a.g_params)
+    lb = jax.tree_util.tree_leaves(state_b.g_params)
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+    # plans with different static degradation branches must be rejected
+    plan_s2 = plan_bsrgan_batch(
+        np.random.default_rng(1), 2, 4, scale2_prob=1.0, per_sample_order=True
+    )
+    assert plan_s2.scale2  # upscale 4 + prob 1.0 guarantees the other branch
+    with pytest.raises(ValueError, match="static branch"):
+        tr_a.bsrgan_fused_train_multi_step(
+            state_a, raws, [plans[0], plan_s2], topss, leftss, 16
+        )
