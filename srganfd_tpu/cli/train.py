@@ -194,21 +194,31 @@ def run_train(
         # operands would mismatch (and differ per process). Fall back.
         print("! SRGANFD_FUSE_STEP ignored under multi-host (plan operands are per-host)")
         fuse_step = False
-    superstep = 1
+    # K-step dispatch: scan K whole train steps inside ONE jitted program,
+    # amortizing the tunnel's fixed per-execution latency K-fold. With
+    # SRGANFD_FUSE_STEP each scanned step embeds its own degradation chain
+    # (steps buffer per static chain branch — scale2 on/off x interp — so
+    # execution order across branches shifts slightly; every (batch, plan)
+    # pair is preserved and per-step numerics are exact). Without it, the
+    # adapter's pre-degraded batches buffer and scan family-agnostically.
+    # Logged metrics are means over each K-step dispatch.
+    superstep = max(1, int(os.environ.get("SRGANFD_STEPS_PER_DISPATCH", "1")))
+    if superstep > 1 and jax.process_count() > 1:
+        # per-host buffering would desynchronize the collective dispatch
+        # order across processes; keep multi-host on the one-step path
+        print("! SRGANFD_STEPS_PER_DISPATCH ignored under multi-host")
+        superstep = 1
     if fuse_step:
         from srganfd_tpu.ops.degrade import bsrgan_lr_size, plan_bsrgan_batch
 
         print("degradation fused into the train step (SRGANFD_FUSE_STEP=1)")
-        # K-step dispatch: scan K whole train steps (each with its own
-        # degradation chain) inside ONE jitted program, amortizing the
-        # tunnel's fixed per-dispatch latency K-fold. Steps buffer per
-        # static degradation branch (scale2 on/off x interp), so execution
-        # order across branches shifts slightly; each (batch, plan) pair is
-        # preserved and per-step numerics are exact. Logged metrics are
-        # means over each K-step dispatch.
-        superstep = max(1, int(os.environ.get("SRGANFD_STEPS_PER_DISPATCH", "1")))
-        if superstep > 1:
-            print(f"K-step fused dispatch: {superstep} train steps per device dispatch")
+    if superstep > 1:
+        print(f"K-step dispatch: {superstep} train steps per device dispatch"
+              + (" (fused chain)" if fuse_step else ""))
+        if not fuse_step:
+            multi_step_fn = trainer.make_train_multi_step(
+                separate_pixel_target=needs_pixel_target
+            )
 
     # multi-host: every process runs the (collective) train/validate programs
     # symmetrically, but only process 0 writes — tracker sinks, checkpoints,
@@ -254,6 +264,7 @@ def run_train(
     epoch = start_epoch
     metrics: dict = {}
     fuse_buffers: dict[tuple, list] = {}
+    plain_buf: list = []
     for epoch in range(start_epoch, cfg.epochs):
         if profile_dir and epoch == start_epoch:
             jax.profiler.start_trace(profile_dir)
@@ -292,7 +303,12 @@ def run_train(
             else:
                 batch = to_global(train_adapter(host_batch, global_step))
                 data_time.update(time.time() - end)
-                if needs_pixel_target:
+                if superstep > 1:
+                    plain_buf.append(batch)
+                    if len(plain_buf) == superstep:
+                        state, metrics = multi_step_fn(state, tuple(plain_buf))
+                        plain_buf.clear()
+                elif needs_pixel_target:
                     state, metrics = step_fn(
                         state, batch["gt"], batch["lr"], batch["gt_pixel"]
                     )
@@ -314,13 +330,21 @@ def run_train(
                 ckpt.save_checkpoint(ckpt_dir, state, epoch, best, is_best=False, name="ckpt_step")
             global_step += 1
         # flush buffered K-step groups before validating (keeps per-epoch
-        # step counts exact; leftovers run as single fused dispatches)
+        # step counts exact; leftovers run as single dispatches)
         for buf in fuse_buffers.values():
             for gt_b, plan_b, tops_b, lefts_b in buf:
                 state, metrics = trainer.bsrgan_fused_train_step(
                     state, gt_b, plan_b, tops_b, lefts_b, cfg.gt_image_size
                 )
             buf.clear()
+        for batch_b in plain_buf:
+            if needs_pixel_target:
+                state, metrics = step_fn(
+                    state, batch_b["gt"], batch_b["lr"], batch_b["gt_pixel"]
+                )
+            else:
+                state, metrics = step_fn(state, batch_b["gt"], batch_b["lr"])
+        plain_buf.clear()
         if profile_dir and epoch == start_epoch:
             jax.block_until_ready(jax.tree_util.tree_leaves(state.g_params)[0])
             jax.profiler.stop_trace()

@@ -571,6 +571,49 @@ class Trainer:
             stack(lefts_list),
         )
 
+    # -- generic K-step dispatch (all families) -------------------------------
+
+    def make_train_multi_step(self, separate_pixel_target: bool = False) -> Callable:
+        """K pre-degraded train steps scanned into ONE jitted dispatch.
+
+        The family-agnostic analog of :meth:`bsrgan_fused_train_multi_step`:
+        takes a tuple of K batch dicts (``{"gt", "lr"[, "gt_pixel"]}``, as
+        produced by the CLI's ``DegradationAdapter``), stacks them inside
+        the program, and ``lax.scan``s the ordinary train step over them —
+        one remote execution per K steps. Per-step numerics are identical
+        to K sequential ``train_step`` calls; returned metrics are the
+        MEAN over the K steps. K is implicit in the pytree structure (jit
+        retraces per K).
+        """
+        key = ("plain_multi", separate_pixel_target)
+        cached = self._fused_step_cache.get(key)
+        if cached is not None:
+            return cached
+
+        step = self.make_train_step(separate_pixel_target=separate_pixel_target)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def multi(state, batches):
+            gts = jnp.stack([b["gt"] for b in batches])
+            lrs = jnp.stack([b["lr"] for b in batches])
+            if separate_pixel_target:
+                gps = jnp.stack([b["gt_pixel"] for b in batches])
+
+                def body(st, xs):
+                    return step(st, xs[0], xs[1], xs[2])
+
+                state_out, ms = jax.lax.scan(body, state, (gts, lrs, gps))
+            else:
+
+                def body(st, xs):
+                    return step(st, xs[0], xs[1])
+
+                state_out, ms = jax.lax.scan(body, state, (gts, lrs))
+            return state_out, jax.tree_util.tree_map(lambda v: jnp.mean(v, axis=0), ms)
+
+        self._fused_step_cache[key] = multi
+        return multi
+
     # -- eval -----------------------------------------------------------------
 
     @functools.cached_property

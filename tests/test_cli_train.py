@@ -77,3 +77,26 @@ def test_run_train_superstep_fused(data_dirs, tmp_path, monkeypatch):
     assert np.isfinite(out["best_psnr"]) and out["best_psnr"] > 0
     ckpt_dir = tmp_path / "results" / cfg.exp_name
     assert (ckpt_dir / "ckpt_last").exists()
+
+
+def test_run_train_superstep_generic(data_dirs, tmp_path, monkeypatch):
+    """SRGANFD_STEPS_PER_DISPATCH=2 WITHOUT the fused chain: the
+    family-agnostic buffered multi-step path (and its odd-step flush)
+    trains end-to-end on the bicubic/rrdbnet minimum slice."""
+    train_dir, valid_dir = data_dirs
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("SRGANFD_STEPS_PER_DISPATCH", "2")
+    monkeypatch.setenv("SRGANFD_NATIVE_LOADER", "0")
+    cfg = get_config(
+        "rrdbnet",
+        train_gt_images_dir=train_dir,
+        valid_gt_images_dir=valid_dir,
+        epochs=1,
+        batch_size=2,
+        gt_image_size=32,
+        compute_dtype="float32",
+        g_kwargs={"channels": 8, "growth_channels": 4, "num_blocks": 1},
+    )
+    out = run_train(cfg, steps_per_epoch=3)  # odd: exercises the flush path
+    assert np.isfinite(out["best_psnr"]) and out["best_psnr"] > 0
+    assert (tmp_path / "results" / "train_RRDBNet_x4" / "ckpt_last").exists()

@@ -393,3 +393,42 @@ def test_bsrgan_fused_multi_step_matches_sequential():
         tr_a.bsrgan_fused_train_multi_step(
             state_a, raws, [plans[0], plan_s2], topss, leftss, 16
         )
+
+
+def test_generic_multi_step_matches_sequential():
+    """Family-agnostic K-step dispatch: 2 scanned pre-degraded GAN steps in
+    ONE jitted program == 2 sequential train_step calls (exact; metrics are
+    the mean). Uses the D-first BSRGAN ordering incl. spectral-norm state."""
+    cfg = _tiny(get_config("bsrgan"))
+    cfg = cfg.replace(
+        g_kwargs={**cfg.g_kwargs, "num_rrdb": 1},
+        content_weight=(),
+        gt_image_size=32,
+    )
+    rng = np.random.default_rng(21)
+    batches = []
+    for _ in range(2):
+        gt, lr = _batch(rng, 2, 32, 2)
+        batches.append({"gt": gt, "lr": lr})
+
+    tr_a = Trainer(cfg, steps_per_epoch=10)
+    state_a = tr_a.init_state(jax.random.PRNGKey(4), batches[0]["lr"].shape, batches[0]["gt"].shape)
+    multi = tr_a.make_train_multi_step()
+    state_a, m_a = multi(state_a, tuple(batches))
+
+    tr_b = Trainer(cfg, steps_per_epoch=10)
+    state_b = tr_b.init_state(jax.random.PRNGKey(4), batches[0]["lr"].shape, batches[0]["gt"].shape)
+    ms = []
+    for b in batches:
+        state_b, m = tr_b.train_step(state_b, b["gt"], b["lr"])
+        ms.append(m)
+
+    for k in m_a:
+        want = float(np.mean([float(m[k]) for m in ms]))
+        np.testing.assert_allclose(float(m_a[k]), want, rtol=1e-5, atol=1e-6, err_msg=k)
+    for a, b in zip(
+        jax.tree_util.tree_leaves((state_a.g_params, state_a.d_params, state_a.ema_g_params)),
+        jax.tree_util.tree_leaves((state_b.g_params, state_b.d_params, state_b.ema_g_params)),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+    assert int(state_a.step) == 2

@@ -25,7 +25,15 @@ def main() -> None:
         action="store_true",
         help="degradation+crop fused INTO the train step (SRGANFD_FUSE_STEP mode)",
     )
+    ap.add_argument(
+        "--steps-per-dispatch",
+        type=int,
+        default=1,
+        help="K-step scanned dispatch (SRGANFD_STEPS_PER_DISPATCH mode; implies --fuse-step)",
+    )
     args = ap.parse_args()
+    if args.steps_per_dispatch > 1:
+        args.fuse_step = True
     sys.path.insert(0, ".")
 
     import jax
@@ -71,14 +79,20 @@ def main() -> None:
 
     it = iter(loader)
     phases = {"loader": 0.0, "adapter": 0.0, "step_dispatch": 0.0, "sync": 0.0}
+    fuse_buffers: dict[tuple, list] = {}
     n = 0
     t_all0 = time.perf_counter()
     warmup = 12  # cover degradation plan variants + step compile
+    if args.steps_per_dispatch > 1:
+        warmup *= args.steps_per_dispatch  # compile all branch programs
     for i in range(args.steps + warmup):
         if i == warmup:
             jax.block_until_ready(jax.tree_util.tree_leaves(state.g_params)[0])
             for k in phases:
                 phases[k] = 0.0
+            # steps buffered across the window boundary are dropped (timing
+            # tool only): `n` counts DISPATCHED steps in the measure window
+            fuse_buffers.clear()
             n = 0
             t_all0 = time.perf_counter()
         t0 = time.perf_counter()
@@ -97,9 +111,22 @@ def main() -> None:
             tops = adapter.rng.integers(0, lim + 1, bsz)
             lefts = adapter.rng.integers(0, lim + 1, bsz)
             t2 = time.perf_counter()
-            state, metrics = trainer.bsrgan_fused_train_step(
-                state, host_batch["gt"], plan, tops, lefts, cfg.gt_image_size
-            )
+            if args.steps_per_dispatch > 1:
+                skey = (plan.scale2, plan.scale2_interp, plan.effective_upscale)
+                buf = fuse_buffers.setdefault(skey, [])
+                buf.append((host_batch["gt"], plan, tops, lefts))
+                n -= 1  # only dispatched steps count (re-added below)
+                if len(buf) == args.steps_per_dispatch:
+                    gts, plans, topss, leftss = zip(*buf)
+                    state, metrics = trainer.bsrgan_fused_train_multi_step(
+                        state, gts, plans, topss, leftss, cfg.gt_image_size
+                    )
+                    n += len(buf)
+                    buf.clear()
+            else:
+                state, metrics = trainer.bsrgan_fused_train_step(
+                    state, host_batch["gt"], plan, tops, lefts, cfg.gt_image_size
+                )
             t3 = time.perf_counter()
         else:
             batch = adapter(host_batch, i)
