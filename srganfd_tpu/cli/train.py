@@ -105,7 +105,13 @@ def run_train(
 ) -> dict:
     """Train per the config. ``save_every_steps`` adds mid-epoch snapshots
     (preemption recovery beyond the reference's per-epoch checkpoints); a
-    SIGTERM handler writes a final snapshot before exit."""
+    SIGTERM handler writes a final snapshot before exit.
+
+    Under ``SRGANFD_STEPS_PER_DISPATCH=K`` a mid-epoch/preempt snapshot can
+    lag ``global_step`` by up to K-1 buffered (not yet dispatched) steps;
+    resuming then replays those steps' epochs-worth of data draws slightly
+    differently. Epoch-boundary checkpoints are exact (buffers flush before
+    validation)."""
     mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes) if use_mesh else None
     train_ds, valid_ds = build_datasets(cfg)
     spe = steps_per_epoch or cfg.steps_per_epoch or max(1, len(train_ds) // cfg.batch_size)
