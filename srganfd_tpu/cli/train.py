@@ -175,12 +175,17 @@ def run_train(
         rep = replicated_sharding(mesh)
         state = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)
         bsh = batch_sharding(mesh)
+        # K-step dispatch stacks to (K, B, ...): batch axis moves to dim 1
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        stacked_sharding = NamedSharding(mesh, PartitionSpec(None, "data"))
 
         def to_global(tree):
             if jax.process_count() > 1:
                 return global_batch_from_host(tree, mesh)
             return jax.tree_util.tree_map(lambda x: jax.device_put(x, bsh), tree)
     else:
+        stacked_sharding = None
 
         def to_global(tree):
             return tree
@@ -291,19 +296,23 @@ def run_train(
                 tops = train_adapter.rng.integers(0, lim + 1, n)
                 lefts = train_adapter.rng.integers(0, lim + 1, n)
                 data_time.update(time.time() - end)
-                gt_raw = to_global({"gt": host_batch["gt"]})["gt"]
                 if superstep == 1:
+                    gt_raw = to_global({"gt": host_batch["gt"]})["gt"]
                     state, metrics = trainer.bsrgan_fused_train_step(
                         state, gt_raw, plan, tops, lefts, cfg.gt_image_size
                     )
                 else:
+                    # buffer the HOST batch: device placement happens once
+                    # per dispatch on the stacked (K,B,...) array (a per-step
+                    # to_global here would be pulled back for stacking)
                     skey = (plan.scale2, plan.scale2_interp, plan.effective_upscale)
                     buf = fuse_buffers.setdefault(skey, [])
-                    buf.append((gt_raw, plan, tops, lefts))
+                    buf.append((host_batch["gt"], plan, tops, lefts))
                     if len(buf) == superstep:
                         gts, plans, topss, leftss = zip(*buf)
                         state, metrics = trainer.bsrgan_fused_train_multi_step(
-                            state, gts, plans, topss, leftss, cfg.gt_image_size
+                            state, gts, plans, topss, leftss, cfg.gt_image_size,
+                            batch_sharding=stacked_sharding,
                         )
                         buf.clear()
             else:
@@ -331,6 +340,9 @@ def run_train(
                 tracker.log_metrics(
                     {f"Train/{k}": float(v) for k, v in metrics.items()}, global_step
                 )
+                # consume: under K-step buffering the same dispatch-mean must
+                # not re-log at later print steps as if it were fresh
+                metrics = {}
             end = time.time()
             if is_main and save_every_steps and global_step and global_step % save_every_steps == 0:
                 ckpt.save_checkpoint(ckpt_dir, state, epoch, best, is_best=False, name="ckpt_step")
@@ -339,8 +351,9 @@ def run_train(
         # step counts exact; leftovers run as single dispatches)
         for buf in fuse_buffers.values():
             for gt_b, plan_b, tops_b, lefts_b in buf:
+                gt_g = to_global({"gt": gt_b})["gt"]
                 state, metrics = trainer.bsrgan_fused_train_step(
-                    state, gt_b, plan_b, tops_b, lefts_b, cfg.gt_image_size
+                    state, gt_g, plan_b, tops_b, lefts_b, cfg.gt_image_size
                 )
             buf.clear()
         for batch_b in plain_buf:

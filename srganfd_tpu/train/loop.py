@@ -533,7 +533,8 @@ class Trainer:
         return fused_multi
 
     def bsrgan_fused_train_multi_step(
-        self, state, gt_raws, plans, tops_list, lefts_list, gt_size: int
+        self, state, gt_raws, plans, tops_list, lefts_list, gt_size: int,
+        batch_sharding=None,
     ):
         """K train steps (each with its own degradation chain + crop) as ONE
         jitted ``lax.scan`` program — one device dispatch per K steps. On
@@ -558,9 +559,19 @@ class Trainer:
         def stack(xs):
             return jnp.asarray(np_.stack([np_.asarray(x) for x in xs]))
 
+        # callers should pass HOST gt batches (np.stack of device arrays is
+        # a device->host pull); under dp the stacked (K, B, ...) array gets
+        # the caller's batch-on-dim-1 sharding in ONE placement
+        gt_stacked = np_.stack([np_.asarray(x) for x in gt_raws])
+        gt_stacked = (
+            jax.device_put(gt_stacked, batch_sharding)
+            if batch_sharding is not None
+            else jnp.asarray(gt_stacked)
+        )
+
         return fused(
             state,
-            stack(gt_raws),
+            gt_stacked,
             stack([p.kernels_a for p in plans]),
             stack([p.kernels_b for p in plans]),
             stack([p.jpeg_quality for p in plans]),

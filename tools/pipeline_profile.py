@@ -141,6 +141,12 @@ def main() -> None:
     jax.block_until_ready(jax.tree_util.tree_leaves(state.g_params)[0])
     phases["sync"] = time.perf_counter() - t_sync0
     total = time.perf_counter() - t_all0
+    if n == 0:
+        sys.exit(
+            f"no K-step dispatch completed in the measured window (buffers "
+            f"fill per degradation branch); raise --steps above "
+            f"{args.steps_per_dispatch} x #branches"
+        )
     print(f"steps timed: {n}; wall {total:.2f}s -> {total / n * 1e3:.1f} ms/step", flush=True)
     for k, v in phases.items():
         per = v / n if k != "sync" else v
