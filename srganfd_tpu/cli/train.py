@@ -31,6 +31,28 @@ from srganfd_tpu.train import checkpoint as ckpt
 from srganfd_tpu.train.loop import Trainer
 from srganfd_tpu.utils.meters import AverageMeter, ProgressMeter
 
+# cooperative preemption: the handler only flags — run_train's loop saves
+# ckpt_preempt at the next safe point. Saving from inside the handler can
+# reenter an in-flight orbax write (observed on hardware: SIGTERM during an
+# epoch-end best save died without writing ckpt_preempt).
+_PREEMPT = {"signum": 0}
+
+
+def _request_preempt(signum, frame):  # pragma: no cover - signal path
+    _PREEMPT["signum"] = signum
+    print(f"signal {signum}: preemption checkpoint at next safe point", flush=True)
+
+
+def _install_preempt_handler(reset: bool = True) -> None:
+    import signal
+
+    if reset:
+        _PREEMPT["signum"] = 0  # a fresh run must not inherit a stale request
+    try:
+        signal.signal(signal.SIGTERM, _request_preempt)
+    except ValueError:
+        pass  # not the main thread (e.g. under a test harness)
+
 
 def build_datasets(cfg):
     if cfg.degradation == "paired":
@@ -104,14 +126,22 @@ def run_train(
     save_every_steps: int = 0,
 ) -> dict:
     """Train per the config. ``save_every_steps`` adds mid-epoch snapshots
-    (preemption recovery beyond the reference's per-epoch checkpoints); a
-    SIGTERM handler writes a final snapshot before exit.
+    (preemption recovery beyond the reference's per-epoch checkpoints).
+    SIGTERM requests a cooperative preemption checkpoint: the loop saves
+    ``ckpt_preempt`` at the next step boundary and exits 143 (grace needed:
+    about one train step + one checkpoint write; the handler itself never
+    saves — a mid-write signal would corrupt an in-flight orbax save).
 
     Under ``SRGANFD_STEPS_PER_DISPATCH=K`` a mid-epoch/preempt snapshot can
     lag ``global_step`` by up to K-1 buffered (not yet dispatched) steps;
     resuming then replays those steps' epochs-worth of data draws slightly
     differently. Epoch-boundary checkpoints are exact (buffers flush before
     validation)."""
+    # install the flag-only SIGTERM handler FIRST: setup (first jit compile
+    # is tens of seconds) is otherwise a window where a preemption signal
+    # still hits SIG_DFL and kills the process without a checkpoint
+    # (observed on hardware + reproduced: signal at +21 s died in setup)
+    _install_preempt_handler()
     mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes) if use_mesh else None
     train_ds, valid_ds = build_datasets(cfg)
     spe = steps_per_epoch or cfg.steps_per_epoch or max(1, len(train_ds) // cfg.batch_size)
@@ -257,18 +287,18 @@ def run_train(
 
     ckpt_dir = f"{cfg.results_dir}/{cfg.exp_name or cfg.name}"
 
-    import signal
-
-    def _save_and_exit(signum, frame):  # pragma: no cover - signal path
-        print(f"signal {signum}: writing preemption checkpoint", flush=True)
+    def _preempt_exit_if_requested():
+        if not _PREEMPT["signum"]:
+            return
         if is_main:
             ckpt.save_checkpoint(ckpt_dir, state, epoch, best, is_best=False, name="ckpt_preempt")
-        raise SystemExit(128 + signum)
+            print("preemption checkpoint written; exiting", flush=True)
+        raise SystemExit(128 + _PREEMPT["signum"])
 
-    try:
-        signal.signal(signal.SIGTERM, _save_and_exit)
-    except ValueError:
-        pass  # not the main thread (e.g. under a test harness)
+    # re-assert the OS-level handler without clearing a pending request:
+    # library inits during setup (TF via the tracker, XLA) can install
+    # their own sigactions over ours
+    _install_preempt_handler(reset=False)
 
     it = iter(train_loader)
     global_step = start_epoch * spe
@@ -282,6 +312,7 @@ def run_train(
         progress = ProgressMeter(spe, [batch_time, data_time, g_loss_m], prefix=f"Epoch[{epoch}]")
         end = time.time()
         for i in range(spe):
+            _preempt_exit_if_requested()
             host_batch = next(it)
             if fuse_step:
                 n = int(np.shape(host_batch["gt"])[0])

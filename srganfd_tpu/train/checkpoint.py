@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from typing import Any
 
 import jax
@@ -34,20 +35,34 @@ def save_checkpoint(
     name: str = "ckpt",
 ) -> None:
     """Write ``<dir>/<name>_last`` (always) and ``<dir>/<name>_best``
-    (when ``is_best``), each a full training-state snapshot."""
+    (when ``is_best``), each a full training-state snapshot.
+
+    Crash-safe: each target is written to a ``<target>.new`` staging dir
+    first and swapped in only once complete, so a kill mid-save (observed:
+    SIGTERM during an epoch-end best save destroyed the previous best and
+    left a stale orbax tmp) can never lose the previous snapshot; the
+    JSON meta sidecar is written per target immediately after its swap so
+    meta and state can't go out of sync across targets."""
     os.makedirs(directory, exist_ok=True)
+    # sweep incomplete writes from prior crashes (orbax tmps are never valid)
+    for entry in os.listdir(directory):
+        if entry.endswith(".orbax-checkpoint-tmp") or entry.endswith(".new"):
+            shutil.rmtree(os.path.join(directory, entry), ignore_errors=True)
     payload = {"state": _to_host(state)}
     ckptr = ocp.StandardCheckpointer()
     targets = [os.path.join(directory, f"{name}_last")]
     if is_best:
         targets.append(os.path.join(directory, f"{name}_best"))
-    for t in targets:
-        ckptr.save(os.path.abspath(t), payload, force=True)
-    ckptr.wait_until_finished()
     # scalar metadata rides a JSON sidecar: keeps the orbax tree identical
     # to the state template regardless of which metrics a config tracks
     meta = {"epoch": int(epoch), "best_metrics": {k: float(v) for k, v in best_metrics.items()}}
     for t in targets:
+        staging = os.path.abspath(t) + ".new"
+        ckptr.save(staging, payload, force=True)
+        ckptr.wait_until_finished()
+        if os.path.exists(t):
+            shutil.rmtree(t)
+        os.rename(staging, t)
         with open(t + ".meta.json", "w") as f:
             json.dump(meta, f)
 

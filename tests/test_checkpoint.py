@@ -44,3 +44,42 @@ def test_restore_into_shape_filter():
     merged = ckpt.restore_into(cur, loaded)
     np.testing.assert_array_equal(merged["a"], np.ones((2, 2)))
     np.testing.assert_array_equal(merged["b"], np.zeros(3))
+
+
+def test_interrupted_save_preserves_previous_snapshot(trained_state, tmp_path, monkeypatch):
+    """A kill/failure mid-save must never destroy the previous best/last
+    (observed on hardware: SIGTERM during an epoch-end best save deleted
+    ckpt_best and left a stale orbax tmp). Saves stage to <target>.new and
+    swap only when complete."""
+    import orbax.checkpoint as ocp
+
+    tr, state = trained_state
+    ckpt.save_checkpoint(str(tmp_path), state, epoch=1, best_metrics={"psnr": 30.0}, is_best=True)
+
+    def boom(self, path, *a, **kw):
+        # model orbax's force=True: the destination is cleared before the
+        # write, then the process dies mid-write. Under the staged-swap
+        # scheme `path` is <target>.new, so real targets must survive.
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        raise RuntimeError("simulated kill mid-write")
+
+    monkeypatch.setattr(ocp.StandardCheckpointer, "save", boom)
+    with pytest.raises(RuntimeError, match="simulated"):
+        ckpt.save_checkpoint(
+            str(tmp_path), state, epoch=2, best_metrics={"psnr": 31.0}, is_best=True
+        )
+    monkeypatch.undo()
+
+    # both snapshots still load, with the epoch-1 meta (state+meta consistent)
+    for name in ("ckpt_best", "ckpt_last"):
+        payload = ckpt.load_checkpoint(str(tmp_path / name), template=state)
+        assert payload["epoch"] == 1
+        assert abs(payload["best_metrics"]["psnr"] - 30.0) < 1e-9
+
+    # a later good save sweeps any staging leftovers and swaps cleanly
+    ckpt.save_checkpoint(str(tmp_path), state, epoch=2, best_metrics={"psnr": 31.0}, is_best=True)
+    assert ckpt.load_checkpoint(str(tmp_path / "ckpt_best"), template=state)["epoch"] == 2
+    leftovers = [p for p in tmp_path.iterdir() if p.name.endswith((".new", ".orbax-checkpoint-tmp"))]
+    assert not leftovers

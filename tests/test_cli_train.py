@@ -100,3 +100,46 @@ def test_run_train_superstep_generic(data_dirs, tmp_path, monkeypatch):
     out = run_train(cfg, steps_per_epoch=3)  # odd: exercises the flush path
     assert np.isfinite(out["best_psnr"]) and out["best_psnr"] > 0
     assert (tmp_path / "results" / "train_RRDBNet_x4" / "ckpt_last").exists()
+
+
+def test_run_train_sigterm_preemption(data_dirs, tmp_path, monkeypatch):
+    """SIGTERM mid-training: the loop writes ckpt_preempt at the next step
+    boundary and exits 143 (cooperative — the handler only sets a flag;
+    a handler-side orbax save can collide with an in-flight write)."""
+    import signal
+    import threading
+
+    train_dir, valid_dir = data_dirs
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("SRGANFD_NATIVE_LOADER", "0")
+    cfg = get_config(
+        "rrdbnet",
+        train_gt_images_dir=train_dir,
+        valid_gt_images_dir=valid_dir,
+        epochs=1000,  # far more work than the signal allows
+        batch_size=2,
+        gt_image_size=32,
+        compute_dtype="float32",
+        g_kwargs={"channels": 8, "growth_channels": 4, "num_blocks": 1},
+    )
+    # pings every 10 s: a signal landing before run_train installs its
+    # handler is swallowed by this no-op; a later ping hits the real one
+    prev = signal.signal(signal.SIGTERM, lambda *a: None)
+    stop = threading.Event()
+
+    def pinger():
+        while not stop.wait(10.0):
+            os.kill(os.getpid(), signal.SIGTERM)
+
+    t = threading.Thread(target=pinger, daemon=True)
+    t.start()
+    try:
+        with pytest.raises(SystemExit) as exc:
+            run_train(cfg, steps_per_epoch=20)
+    finally:
+        stop.set()
+        signal.signal(signal.SIGTERM, prev)
+    assert exc.value.code == 128 + signal.SIGTERM
+    ckpt_dir = tmp_path / "results" / "train_RRDBNet_x4"
+    assert (ckpt_dir / "ckpt_preempt_last").exists()
+    assert (ckpt_dir / "ckpt_preempt_last.meta.json").exists()
