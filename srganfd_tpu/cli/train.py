@@ -304,6 +304,7 @@ def run_train(
     global_step = start_epoch * spe
     epoch = start_epoch
     metrics: dict = {}
+    last_metrics: dict = {}
     fuse_buffers: dict[tuple, list] = {}
     plain_buf: list = []
     for epoch in range(start_epoch, cfg.epochs):
@@ -363,6 +364,8 @@ def run_train(
             # materialize metrics (a device sync) only at print frequency —
             # pulling them every step would serialize host and device
             # (empty metrics = K-step buffering hasn't dispatched yet)
+            if metrics:
+                last_metrics = metrics  # epoch-end best-selection reads this
             if metrics and i % cfg.train_print_frequency == 0:
                 g_key = "g_loss" if "g_loss" in metrics else "pixel_loss"
                 g_loss_m.update(float(metrics[g_key]))
@@ -423,7 +426,7 @@ def run_train(
         if cfg.optimizing_metric == "LPIPS" and lpips_fn is not None:
             is_best = vm["lpips"] < best["lpips"]
         elif cfg.optimizing_metric == "Discriminator SR Prob":
-            d_prob = float(metrics.get("d_sr_probability", 0.0))
+            d_prob = float(last_metrics.get("d_sr_probability", 0.0))
             is_best = d_prob > best.get("d_sr_prob", -1.0)
             best["d_sr_prob"] = max(best.get("d_sr_prob", -1.0), d_prob)
         else:
