@@ -141,9 +141,21 @@ def main() -> None:
         "attention with O(chunk*T) score memory — large frames the "
         "reference's O(T^2) attention cannot process",
     )
+    ap.add_argument(
+        "--attn-backend",
+        choices=["chunked", "flash"],
+        default="chunked",
+        help="execution backend for --attn-chunk attention: 'chunked' "
+        "(XLA query-block sweep) or 'flash' (Pallas online-softmax "
+        "kernel, scores stay in VMEM; TPU-optimized)",
+    )
     args = ap.parse_args()
 
     choice_device(args.device)
+    if args.attn_backend != "chunked":
+        from srganfd_tpu.models.blocks import set_attention_backend
+
+        set_attention_backend(args.attn_backend)
     kwargs = {}
     if args.half:
         kwargs["dtype"] = jnp.bfloat16

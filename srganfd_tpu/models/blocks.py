@@ -15,6 +15,7 @@ Parity notes reference the PyTorch originals:
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import flax.linen as nn
@@ -439,13 +440,45 @@ def chunked_attention(
     return out[:, :t].astype(q.dtype)
 
 
+_attention_backend = os.environ.get("SRGANFD_ATTN_BACKEND", "chunked")
+
+
+def set_attention_backend(name: str) -> None:
+    """Select the large-input exact-attention execution backend:
+
+    - ``"chunked"`` (default): query-block ``lax.map`` sweep over full
+      resident K/V (``chunked_attention``) — pure XLA.
+    - ``"flash"``: the Pallas online-softmax kernel
+      (``ops.pallas.attention.flash_attention``) — scores never leave
+      VMEM; identical semantics. Interpreted off-TPU.
+
+    Set before the first jitted call (the choice is baked at trace time;
+    already-compiled programs for the same shapes are not retraced).
+    """
+    global _attention_backend
+    if name not in ("chunked", "flash"):
+        raise ValueError(f"unknown attention backend {name!r}")
+    _attention_backend = name
+
+
+def large_attention(q: jax.Array, k: jax.Array, v: jax.Array, chunk: int) -> jax.Array:
+    """Exact attention for large token counts via the selected backend
+    (see ``set_attention_backend``); q/k/v: (N, T, H, D)."""
+    if _attention_backend == "flash":
+        from srganfd_tpu.ops.pallas.attention import flash_attention
+
+        interpret = jax.devices()[0].platform != "tpu"
+        return flash_attention(q, k, v, max(chunk, 8), 512, interpret)
+    return chunked_attention(q, k, v, chunk)
+
+
 def chunked_attention_fn(chunk: int):
     """``nn.MultiHeadDotProductAttention``-compatible ``attention_fn``
     (same q/k/v layout, extra kwargs ignored) running chunked attention —
     lets existing checkpoints switch memory regimes with no param change."""
 
     def fn(query, key, value, *args, **kwargs):  # noqa: ANN001
-        return chunked_attention(query, key, value, chunk)
+        return large_attention(query, key, value, chunk)
 
     return fn
 
@@ -478,7 +511,7 @@ class TokenSelfAttention(nn.Module):
         k = dense("key")(tokens)
         v = dense("value")(tokens)
         if self.chunk_size:
-            out = chunked_attention(q, k, v, self.chunk_size)
+            out = large_attention(q, k, v, self.chunk_size)
             avg_weights = None
         else:
             logits = jnp.einsum("nqhd,nkhd->nhqk", q, k) / jnp.sqrt(d).astype(self.dtype)

@@ -12,4 +12,5 @@ the default stays XLA until the Pallas path benchmarks faster on real
 hardware (see bench notes in each module).
 """
 
+from srganfd_tpu.ops.pallas.attention import flash_attention  # noqa: F401
 from srganfd_tpu.ops.pallas.filter2d import filter2d_pallas  # noqa: F401
