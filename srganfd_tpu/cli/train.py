@@ -142,7 +142,14 @@ def run_train(
     # still hits SIG_DFL and kills the process without a checkpoint
     # (observed on hardware + reproduced: signal at +21 s died in setup)
     _install_preempt_handler()
-    mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes) if use_mesh else None
+    if not use_mesh:
+        mesh = None
+    elif cfg.dcn_mesh_shape is not None:
+        from srganfd_tpu.parallel import make_hybrid_mesh
+
+        mesh = make_hybrid_mesh(cfg.mesh_shape, cfg.dcn_mesh_shape, cfg.mesh_axes)
+    else:
+        mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
     train_ds, valid_ds = build_datasets(cfg)
     spe = steps_per_epoch or cfg.steps_per_epoch or max(1, len(train_ds) // cfg.batch_size)
 

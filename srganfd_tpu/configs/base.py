@@ -101,6 +101,10 @@ class ExperimentConfig:
     # staged over it (parallel/pipeline.py; requires scan_blocks=True in
     # g_kwargs). 0 = one microbatch per pipeline stage.
     pipeline_microbatches: int = 0
+    # multi-slice pods: per-axis DCN factors (same rank as mesh_shape).
+    # When set, the mesh is built by make_hybrid_mesh so each axis's slow
+    # DCN hops sit on its outer factor — put >1 only on the data axis.
+    dcn_mesh_shape: tuple[int, ...] | None = None
 
     # training guards beyond the reference (both off by default so the
     # reference's exact optimizer semantics remain the baseline)

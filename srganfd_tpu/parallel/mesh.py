@@ -21,8 +21,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
-    "make_mesh", "batch_sharding", "replicated_sharding", "shard_batch",
-    "global_batch_from_host",
+    "make_mesh", "make_hybrid_mesh", "batch_sharding", "replicated_sharding",
+    "shard_batch", "global_batch_from_host",
 ]
 
 
@@ -42,6 +42,67 @@ def make_mesh(
         raise ValueError(f"mesh shape {shape} != {n} devices")
     dev_array = np.asarray(devices).reshape(shape)
     return Mesh(dev_array, axes)
+
+
+def make_hybrid_mesh(
+    ici_shape: tuple[int, ...] = (-1,),
+    dcn_shape: tuple[int, ...] | None = None,
+    axes: tuple[str, ...] = ("data",),
+    devices: list[Any] | None = None,
+) -> Mesh:
+    """Mesh for multi-slice TPU pods: slow DCN hops only on the OUTER
+    factor of each axis, fast ICI inside a slice.
+
+    ``dcn_shape[i] * ici_shape[i]`` devices span logical axis ``i``; put
+    the replicated/data axis (gradient psum once per step — a
+    ring-reduce whose per-hop payload is the full gradient) on DCN and
+    keep tensor/spatial/pipeline axes (per-layer collectives) strictly
+    intra-slice, i.e. ``dcn_shape`` 1 everywhere but the data axis.
+
+    Device assignment: ``mesh_utils.create_hybrid_device_mesh`` when
+    devices carry ``slice_index`` (real multi-slice pods); otherwise
+    (virtual CPU meshes, single slice) devices are grouped into
+    ``prod(dcn_shape)`` contiguous pseudo-slices, which preserves the
+    collective structure for dry runs. A single ``-1`` in ``ici_shape``
+    absorbs the remaining per-slice devices.
+    """
+    devices = devices if devices is not None else jax.devices()
+    if dcn_shape is None:
+        dcn_shape = (1,) * len(ici_shape)
+    if len(dcn_shape) != len(ici_shape) or len(ici_shape) != len(axes):
+        raise ValueError("ici_shape, dcn_shape and axes must have equal rank")
+    n = len(devices)
+    n_slices = math.prod(dcn_shape)
+    if n % n_slices:
+        raise ValueError(f"{n} devices not divisible into {n_slices} slices")
+    per_slice = n // n_slices
+    ici_shape = list(ici_shape)
+    if -1 in ici_shape:
+        known = math.prod(s for s in ici_shape if s != -1)
+        ici_shape[ici_shape.index(-1)] = per_slice // known
+    if math.prod(ici_shape) != per_slice:
+        raise ValueError(f"ici shape {ici_shape} != {per_slice} devices/slice")
+
+    if n_slices > 1 and all(hasattr(d, "slice_index") for d in devices):
+        from jax.experimental import mesh_utils
+
+        dev_array = mesh_utils.create_hybrid_device_mesh(
+            tuple(ici_shape), tuple(dcn_shape), devices=devices
+        )
+        return Mesh(dev_array, axes)
+
+    # pseudo-slices: outer factors index contiguous device groups, so a
+    # DCN-axis collective touches one device per group — the same
+    # communication pattern the real assignment produces.
+    arr = np.asarray(devices).reshape(
+        tuple(dcn_shape) + tuple(ici_shape)
+    )  # (d0..dk, i0..ik)
+    k = len(ici_shape)
+    order = [x for pair in zip(range(k), range(k, 2 * k)) for x in pair]
+    arr = arr.transpose(order).reshape(
+        tuple(d * i for d, i in zip(dcn_shape, ici_shape))
+    )
+    return Mesh(arr, axes)
 
 
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:

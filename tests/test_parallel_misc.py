@@ -52,3 +52,59 @@ def test_config_overrides():
     assert get_config("rrdbnet").is_gan is False
     with pytest.raises(KeyError):
         get_config("nope")
+
+
+def test_hybrid_mesh_pseudo_slices(eight_devices):
+    """2 pseudo-slices x 4 devices/slice on a (data, model) mesh: the
+    model axis must stay inside one slice (contiguous device group), the
+    data axis must cross slices."""
+    from srganfd_tpu.parallel import make_hybrid_mesh
+
+    mesh = make_hybrid_mesh((1, 4), (2, 1), ("data", "model"), devices=eight_devices)
+    assert dict(mesh.shape) == {"data": 2, "model": 4}
+    ids = np.array([[d.id for d in row] for row in mesh.devices])
+    base = min(d.id for d in eight_devices)
+    # model axis (row) = one contiguous slice; data axis crosses groups
+    np.testing.assert_array_equal(ids - base, [[0, 1, 2, 3], [4, 5, 6, 7]])
+
+    # -1 absorbs the per-slice device count
+    mesh2 = make_hybrid_mesh((-1,), (2,), ("data",), devices=eight_devices)
+    assert dict(mesh2.shape) == {"data": 8}
+
+    with pytest.raises(ValueError):
+        make_hybrid_mesh((1, 3), (2, 1), ("data", "model"), devices=eight_devices)
+
+
+def test_hybrid_mesh_train_step_matches_flat(eight_devices):
+    """One GAN step over the hybrid (dcn=2) mesh equals the flat-mesh
+    step bit-for-bit (device assignment must not change numerics)."""
+    from srganfd_tpu.configs import get_config
+    from srganfd_tpu.parallel import make_hybrid_mesh, shard_batch
+    from srganfd_tpu.train.loop import Trainer
+
+    cfg = get_config("bsrgan").replace(
+        compute_dtype="float32",
+        g_kwargs={"channels": 8, "growth_channels": 4, "num_rrdb": 1},
+        content_weight=(),
+        gt_image_size=16,
+    )
+    rng = np.random.default_rng(0)
+    gt = rng.uniform(size=(16, 16, 16, 3)).astype(np.float32)
+    lr = gt[:, :: cfg.upscale_factor, :: cfg.upscale_factor, :]
+
+    results = []
+    for mesh in (
+        make_mesh(devices=eight_devices),
+        make_hybrid_mesh((-1,), (2,), devices=eight_devices),
+    ):
+        trainer = Trainer(cfg, steps_per_epoch=10)
+        state = trainer.init_state(jax.random.PRNGKey(0), lr.shape, gt.shape)
+        rep = replicated_sharding(mesh)
+        state = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)
+        batch = shard_batch({"gt": gt, "lr": lr}, mesh)
+        state, metrics = trainer.train_step(state, batch["gt"], batch["lr"])
+        leaf = jax.tree_util.tree_leaves(state.g_params)[0]
+        results.append((float(metrics["g_loss"]), np.asarray(leaf)))
+
+    assert results[0][0] == results[1][0]
+    np.testing.assert_array_equal(results[0][1], results[1][1])
