@@ -142,6 +142,9 @@ def run_train(
     # still hits SIG_DFL and kills the process without a checkpoint
     # (observed on hardware + reproduced: signal at +21 s died in setup)
     _install_preempt_handler()
+    from srganfd_tpu.parallel.mesh import maybe_init_distributed
+
+    maybe_init_distributed()
     if not use_mesh:
         mesh = None
     elif cfg.dcn_mesh_shape is not None:

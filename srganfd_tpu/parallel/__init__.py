@@ -5,6 +5,7 @@ the shardings declared here; there is no hand-written NCCL/MPI analog."""
 from srganfd_tpu.parallel.mesh import (  # noqa: F401
     make_hybrid_mesh,
     make_mesh,
+    maybe_init_distributed,
     batch_sharding,
     global_batch_from_host,
     replicated_sharding,

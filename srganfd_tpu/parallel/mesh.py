@@ -22,8 +22,39 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
     "make_mesh", "make_hybrid_mesh", "batch_sharding", "replicated_sharding",
-    "shard_batch", "global_batch_from_host",
+    "shard_batch", "global_batch_from_host", "maybe_init_distributed",
 ]
+
+
+def maybe_init_distributed() -> bool:
+    """Initialize ``jax.distributed`` for multi-process (multi-host) runs.
+
+    No-op (returns False) unless the environment requests it: either
+    ``SRGANFD_DISTRIBUTED=1`` (TPU pods — jax auto-discovers the
+    coordinator from the TPU metadata) or an explicit
+    ``JAX_COORDINATOR_ADDRESS`` [+ ``JAX_PROCESS_ID`` /
+    ``JAX_NUM_PROCESSES``] triple (CPU/GPU clusters). Call before the
+    first device access; ``cli.train`` does this automatically. Safe to
+    call twice (already-initialized errors are swallowed).
+    """
+    import os
+
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS", "")
+    if os.environ.get("SRGANFD_DISTRIBUTED", "0") != "1" and not addr:
+        return False
+    kwargs: dict[str, Any] = {}
+    if addr:
+        kwargs["coordinator_address"] = addr
+        if "JAX_NUM_PROCESSES" in os.environ:
+            kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+        if "JAX_PROCESS_ID" in os.environ:
+            kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:  # already initialized
+        if "already" not in str(e):
+            raise
+    return True
 
 
 def make_mesh(

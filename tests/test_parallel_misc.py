@@ -108,3 +108,13 @@ def test_hybrid_mesh_train_step_matches_flat(eight_devices):
 
     assert results[0][0] == results[1][0]
     np.testing.assert_array_equal(results[0][1], results[1][1])
+
+
+def test_maybe_init_distributed_noop(monkeypatch):
+    """Without the env triggers it must do nothing (single-process runs
+    and the CPU test mesh must never try to reach a coordinator)."""
+    from srganfd_tpu.parallel import maybe_init_distributed
+
+    monkeypatch.delenv("SRGANFD_DISTRIBUTED", raising=False)
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    assert maybe_init_distributed() is False
