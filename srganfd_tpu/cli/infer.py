@@ -142,6 +142,15 @@ def main() -> None:
         "reference's O(T^2) attention cannot process",
     )
     ap.add_argument(
+        "--quant-int8",
+        action="store_true",
+        help="int8 post-training quantization of the RDB trunk (~95%% of "
+        "generator FLOPs): s8xs8->s32 convs run at 2x the bf16 MXU MAC "
+        "rate; per-output-channel weight + dynamic per-tensor activation "
+        "scales (ops/quant.py). Serving-only; measure the PSNR delta on "
+        "your data before shipping",
+    )
+    ap.add_argument(
         "--attn-backend",
         choices=["chunked", "flash"],
         default="chunked",
@@ -159,6 +168,13 @@ def main() -> None:
     kwargs = {}
     if args.half:
         kwargs["dtype"] = jnp.bfloat16
+    if args.quant_int8:
+        from srganfd_tpu.models.registry import arch_accepts
+
+        if arch_accepts(args.arch, "quant"):
+            kwargs["quant"] = True
+        else:
+            print(f"! --quant-int8 ignored: arch {args.arch!r} has no RDB trunk")
     if args.attn_chunk:
         from srganfd_tpu.models.registry import arch_accepts
 

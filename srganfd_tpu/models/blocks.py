@@ -175,6 +175,7 @@ class ResidualDenseBlock(nn.Module):
     fused: bool = True
     pallas: bool = False  # fused VMEM-resident kernel (benchmark-gated)
     superpixel: bool = False  # conv3x3_superpixel dataflow (full MXU lanes)
+    quant: bool = False  # int8 PTQ serving path (ops/quant.py; inference only)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -190,7 +191,7 @@ class ResidualDenseBlock(nn.Module):
             )
             biases.append(self.param(f"conv{k}_bias", nn.initializers.zeros, (cout,), jnp.float32))
 
-        if self.pallas and not self.is_initializing():
+        if self.pallas and not self.quant and not self.is_initializing():
             if int(self.pallas) >= 2:  # v2 whole-image batch-grouped kernel
                 from srganfd_tpu.ops.pallas.rdb import rdb_apply_v2
 
@@ -220,8 +221,13 @@ class ResidualDenseBlock(nn.Module):
                 ).astype(self.dtype)
 
         use_sp = self.superpixel and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+        use_quant = self.quant and not self.is_initializing()
 
         def conv(inp, kern):
+            if use_quant:  # int8 PTQ path (overrides superpixel/pallas)
+                from srganfd_tpu.ops.quant import qconv2d
+
+                return qconv2d(inp, kern.astype(jnp.float32)).astype(self.dtype)
             if use_sp:
                 return conv3x3_superpixel(inp.astype(self.dtype), kern.astype(self.dtype))
             return jax.lax.conv_general_dilated(
@@ -289,12 +295,13 @@ class RRDB(nn.Module):
     pallas: bool = False
     superpixel: bool = False
     fused: bool = True
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         rdb = lambda: ResidualDenseBlock(
             self.channels, self.growth_channels, self.dtype, fused=self.fused,
-            pallas=self.pallas, superpixel=self.superpixel,
+            pallas=self.pallas, superpixel=self.superpixel, quant=self.quant,
         )
         out = rdb()(x)
         out = rdb()(out)
@@ -312,13 +319,14 @@ class _ScanBody(nn.Module):
     pallas: bool = False
     superpixel: bool = False
     fused: bool = True
+    quant: bool = False
 
     @nn.compact
     def __call__(self, carry, _):
         block_cls = nn.remat(RRDB) if self.remat else RRDB
         out = block_cls(
             self.channels, self.growth_channels, self.dtype, self.pallas,
-            self.superpixel, self.fused, name="RRDB_0"
+            self.superpixel, self.fused, self.quant, name="RRDB_0"
         )(carry)
         return out, None
 
@@ -334,6 +342,7 @@ def run_trunk(
     pallas: bool = False,
     superpixel: bool = False,
     fused: bool = True,
+    quant: bool = False,
 ) -> jax.Array:
     """The RRDB trunk, called inside a parent module's compact ``__call__``.
 
@@ -353,7 +362,7 @@ def run_trunk(
             # explicit names keep the param tree identical with/without remat
             x = block_cls(
                 channels, growth_channels, dtype, pallas, superpixel, fused,
-                name=f"RRDB_{i}"
+                quant, name=f"RRDB_{i}"
             )(x)
         return x
     scan = nn.scan(
@@ -363,7 +372,7 @@ def run_trunk(
         length=num_blocks,
     )
     out, _ = scan(channels, growth_channels, dtype, remat, pallas, superpixel,
-                  fused, name="ScanRRDB")(x, None)
+                  fused, quant, name="ScanRRDB")(x, None)
     return out
 
 

@@ -61,6 +61,7 @@ class RRDBNet(nn.Module):
     pallas: bool = False  # fused VMEM-resident RDB kernel (benchmark-gated)
     superpixel: bool = False  # 2x2-block feature-packed trunk convs (full MXU lanes)
     rdb_fused: bool = True  # False = the reference's literal 5-conv dataflow
+    quant: bool = False  # int8 PTQ trunk (serving only; ops/quant.py)
 
     @nn.compact
     def __call__(self, x: jax.Array, trunk_fn: Any = None) -> jax.Array:
@@ -76,7 +77,8 @@ class RRDBNet(nn.Module):
         else:
             out = run_trunk(out1, self.channels, self.growth_channels, self.num_blocks,
                             self.dtype, self.scan_blocks, self.remat, self.pallas,
-                            superpixel=self.superpixel, fused=self.rdb_fused)
+                            superpixel=self.superpixel, fused=self.rdb_fused,
+                            quant=self.quant)
         out = out1 + conv(self.channels)(out)
         for _ in range(int(math.log2(self.upscale_factor)) if self.upscale_factor > 1 else 0):
             out = lrelu(conv(self.channels)(upsample_nearest(out, 2)))
@@ -101,6 +103,7 @@ class BSRGAN(nn.Module):
     pallas: bool = False  # fused VMEM-resident RDB kernel (benchmark-gated)
     superpixel: bool = False  # 2x2-block feature-packed trunk convs (full MXU lanes)
     rdb_fused: bool = True  # False = the reference's literal 5-conv dataflow
+    quant: bool = False  # int8 PTQ trunk (serving only; ops/quant.py)
 
     @nn.compact
     def __call__(self, x: jax.Array, trunk_fn: Any = None) -> jax.Array:
@@ -113,7 +116,8 @@ class BSRGAN(nn.Module):
         else:
             out = run_trunk(out1, self.channels, self.growth_channels, self.num_rrdb,
                             self.dtype, self.scan_blocks, self.remat, self.pallas,
-                            superpixel=self.superpixel, fused=self.rdb_fused)
+                            superpixel=self.superpixel, fused=self.rdb_fused,
+                            quant=self.quant)
         out = out1 + conv(self.channels)(out)
         out = lrelu(conv(self.channels)(upsample_nearest(out, 2)))
         if self.upscale_factor == 4:
@@ -144,6 +148,7 @@ class BSRGANtrans(nn.Module):
     superpixel: bool = False
     rdb_fused: bool = True
     attn_chunk: int = 0
+    quant: bool = False  # int8 PTQ trunk (serving only; ops/quant.py)
 
     @nn.compact
     def __call__(
@@ -158,7 +163,8 @@ class BSRGANtrans(nn.Module):
         else:
             out = run_trunk(out1, self.channels, self.growth_channels, self.num_rrdb,
                             self.dtype, self.scan_blocks, self.remat,
-                            superpixel=self.superpixel, fused=self.rdb_fused)
+                            superpixel=self.superpixel, fused=self.rdb_fused,
+                            quant=self.quant)
 
         out = lrelu(Conv(self.channels, stride=2, scaled_init=True, dtype=self.dtype)(out))
         n, h2, w2, c = out.shape
@@ -195,6 +201,7 @@ class RealESRGANNet(nn.Module):
     remat: bool = False
     superpixel: bool = False
     rdb_fused: bool = True
+    quant: bool = False  # int8 PTQ trunk (serving only; ops/quant.py)
 
     @nn.compact
     def __call__(self, x: jax.Array, trunk_fn: Any = None) -> jax.Array:
@@ -211,7 +218,8 @@ class RealESRGANNet(nn.Module):
         else:
             out = run_trunk(out1, self.channels, self.growth_channels, self.num_rrdb,
                             self.dtype, self.scan_blocks, self.remat,
-                            superpixel=self.superpixel, fused=self.rdb_fused)
+                            superpixel=self.superpixel, fused=self.rdb_fused,
+                            quant=self.quant)
         out = out1 + conv(self.channels)(out)
         out = lrelu(conv(self.channels)(upsample_nearest(out, 2)))
         out = lrelu(conv(self.channels)(upsample_nearest(out, 2)))
