@@ -108,6 +108,15 @@ def run_sequence(
     return {"frames": frames, "buckets": len(by_shape)}
 
 
+def _maybe_ensemble(run_one, img: np.ndarray, enabled: bool) -> np.ndarray:
+    """Run ``run_one`` directly or wrapped in the x8 self-ensemble."""
+    if not enabled:
+        return np.asarray(run_one(img))
+    from srganfd_tpu.ops.self_ensemble import self_ensemble
+
+    return self_ensemble(run_one, img)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description="srganfd_tpu single-image inference")
     ap.add_argument("--model-arch", "--model_arch_name", dest="arch", default="rrdbnet_x4")
@@ -149,6 +158,13 @@ def main() -> None:
         "rate; per-output-channel weight + dynamic per-tensor activation "
         "scales (ops/quant.py). Serving-only; measure the PSNR delta on "
         "your data before shipping",
+    )
+    ap.add_argument(
+        "--self-ensemble",
+        action="store_true",
+        help="x8 geometric self-ensemble (4 rotations x flip, averaged "
+        "after inverse mapping): ~0.1-0.3 dB PSNR for 8x serving FLOPs; "
+        "composes with --tile / --spatial-shard / sequence mode",
     )
     ap.add_argument(
         "--attn-backend",
@@ -212,6 +228,25 @@ def main() -> None:
     if sequence_dir:
         import time
 
+        if args.self_ensemble:
+            # each frame becomes two batch-4 dispatches (one per dihedral
+            # orientation); frame-level batching is superseded
+            from srganfd_tpu.ops.self_ensemble import self_ensemble_batched
+
+            import cv2
+
+            os.makedirs(args.output, exist_ok=True)
+            t0 = time.perf_counter()
+            for p in frame_paths:
+                sr = self_ensemble_batched(apply_fn, params, load_image_rgb(p))
+                sr8 = np.clip(sr * 255.0, 0, 255).astype(np.uint8)
+                cv2.imwrite(os.path.join(args.output, os.path.basename(p)), sr8[..., ::-1])
+            dt = time.perf_counter() - t0
+            print(
+                f"SR'd {len(frame_paths)} frames (x8 self-ensemble) to "
+                f"{args.output} in {dt:.1f}s ({len(frame_paths) / dt:.2f} frames/s)"
+            )
+            return
         t0 = time.perf_counter()
         stats = run_sequence(apply_fn, params, frame_paths, args.output, batch=args.batch)
         dt = time.perf_counter() - t0
@@ -225,21 +260,30 @@ def main() -> None:
         from srganfd_tpu.parallel.spatial import spatial_sharded_sr
 
         upscale = apply_fn(params, jnp.zeros((1, 8, 8, 3))).shape[1] // 8
-        sr = spatial_sharded_sr(
-            lambda p, z: model.apply({"params": p}, z),
-            params,
-            img,
-            upscale,
-            make_mesh(),
-            halo=args.tile_overlap,
-        )
+        mesh = make_mesh()
+
+        def run_one(im):
+            return spatial_sharded_sr(
+                lambda p, z: model.apply({"params": p}, z),
+                params, im, upscale, mesh, halo=args.tile_overlap,
+            )
+
+        sr = _maybe_ensemble(run_one, img, args.self_ensemble)
     elif args.tile:
         from srganfd_tpu.parallel.tiled_inference import tiled_sr
 
         upscale = apply_fn(params, jnp.zeros((1, 8, 8, 3))).shape[1] // 8
-        sr = tiled_sr(
-            apply_fn, params, img, upscale, tile=args.tile, overlap=args.tile_overlap
-        )
+
+        def run_one(im):
+            return tiled_sr(
+                apply_fn, params, im, upscale, tile=args.tile, overlap=args.tile_overlap
+            )
+
+        sr = _maybe_ensemble(run_one, img, args.self_ensemble)
+    elif args.self_ensemble:
+        from srganfd_tpu.ops.self_ensemble import self_ensemble_batched
+
+        sr = self_ensemble_batched(apply_fn, params, img)
     else:
         sr = np.asarray(apply_fn(params, x))[0]
     sr8 = np.clip(sr * 255.0, 0, 255).astype(np.uint8)

@@ -76,6 +76,13 @@ def main() -> None:
         default=os.environ.get("SRGANFD_NIQE_MODEL", ""),
         help=".mat/.npz pristine model; enables NIQE (default $SRGANFD_NIQE_MODEL)",
     )
+    ap.add_argument(
+        "--self-ensemble",
+        action="store_true",
+        help="x8 geometric self-ensemble (rotations x flip averaged after "
+        "inverse mapping) before computing metrics — beyond the "
+        "reference; typically +0.1-0.3 dB PSNR at 8x eval FLOPs",
+    )
     ap.add_argument("--tiny", action="store_true", help="shrink models (matches train --tiny)")
     ap.add_argument("--use-ema", action="store_true", help="evaluate the EMA generator instead of the raw one")
     ap.add_argument(
@@ -151,7 +158,13 @@ def run_eval(args) -> dict:
             else:
                 print("! no --weights: randomly initialized generator")
                 params = model.init(jax.random.PRNGKey(0), x)["params"]
-        sr = _match_hw(apply_fn(params, x), gt.shape[0], gt.shape[1])
+        if getattr(args, "self_ensemble", False):
+            from srganfd_tpu.ops.self_ensemble import self_ensemble_batched
+
+            sr_img = jnp.asarray(self_ensemble_batched(apply_fn, params, lr_img))[None]
+        else:
+            sr_img = apply_fn(params, x)
+        sr = _match_hw(sr_img, gt.shape[0], gt.shape[1])
 
         gt_t = jnp.asarray(gt)[None]
         valid = jnp.asarray([[h0, w0]], jnp.int32)

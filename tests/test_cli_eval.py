@@ -91,3 +91,14 @@ def test_paired_lr_bucketed_eval(tmp_path, monkeypatch):
     assert np.isfinite(out["avg"]["PSNR"]) and out["avg"]["PSNR"] > 5
     # 3 distinct LR sizes -> at most 2 bucketed LR shapes ((32,32),(32,64)->..)
     assert out["generator_compiles"] <= 2, out
+
+
+def test_self_ensemble_eval(mixed_dir, tmp_path, monkeypatch):
+    """--self-ensemble: metrics stay finite; the transposed orientation of
+    the non-square bucket adds at most one extra compiled program."""
+    monkeypatch.chdir(tmp_path)
+    out = run_eval(_make_args(gt_dir=mixed_dir, self_ensemble=True))
+    assert np.isfinite(out["avg"]["PSNR"]) and out["avg"]["PSNR"] > 5
+    # buckets (128,128) + (64,128): square reuses one batch-4 program for
+    # both orientations, non-square adds its transpose -> <= 3
+    assert out["generator_compiles"] <= 3, out
