@@ -43,15 +43,31 @@ def _request_preempt(signum, frame):  # pragma: no cover - signal path
     print(f"signal {signum}: preemption checkpoint at next safe point", flush=True)
 
 
-def _install_preempt_handler(reset: bool = True) -> None:
+def _install_preempt_handler(reset: bool = True):
+    """Install the flag-only SIGTERM handler; returns the handler it
+    replaced (None when not on the main thread) so callers can restore it."""
     import signal
 
     if reset:
         _PREEMPT["signum"] = 0  # a fresh run must not inherit a stale request
     try:
-        signal.signal(signal.SIGTERM, _request_preempt)
+        return signal.signal(signal.SIGTERM, _request_preempt)
     except ValueError:
-        pass  # not the main thread (e.g. under a test harness)
+        return None  # not the main thread (e.g. under a test harness)
+
+
+def _restore_sigterm(prev) -> None:
+    """Undo ``_install_preempt_handler``: once training returns, a SIGTERM
+    must terminate the process again instead of setting a flag nobody
+    reads (the flag-only handler would otherwise swallow SIGTERM forever)."""
+    import signal
+
+    if prev is None:
+        return
+    try:
+        signal.signal(signal.SIGTERM, prev)
+    except ValueError:
+        pass
 
 
 def build_datasets(cfg):
@@ -85,7 +101,10 @@ def build_datasets(cfg):
     return train_ds, valid_ds
 
 
-def validate(cfg, trainer, params, valid_loader, adapter, lpips_fn=None, max_batches: int = 16):
+def validate(
+    cfg, trainer, params, valid_loader, adapter, lpips_fn=None, max_batches: int = 16,
+    should_stop=None,
+):
     """Per-epoch validation: SR the degraded valid crops; Y-channel
     PSNR/SSIM with crop_border = upscale_factor, plus LPIPS when a metric
     fn is given (``BSRGAN/train_bsrgan.py:515-607`` surface).
@@ -99,7 +118,7 @@ def validate(cfg, trainer, params, valid_loader, adapter, lpips_fn=None, max_bat
     adapter.rng = np.random.default_rng((cfg.seed + 1, _jax.process_index()))
     psnrs, ssims, lpipses = [], [], []
     for i, host_batch in enumerate(valid_loader):
-        if i >= max_batches:
+        if i >= max_batches or (should_stop is not None and should_stop()):
             break
         batch = adapter(host_batch, i)
         sr = trainer.eval_sr(params, batch["lr"])
@@ -140,8 +159,30 @@ def run_train(
     # install the flag-only SIGTERM handler FIRST: setup (first jit compile
     # is tens of seconds) is otherwise a window where a preemption signal
     # still hits SIG_DFL and kills the process without a checkpoint
-    # (observed on hardware + reproduced: signal at +21 s died in setup)
-    _install_preempt_handler()
+    # (observed on hardware + reproduced: signal at +21 s died in setup).
+    # Restored on return so later SIGTERMs terminate the process normally.
+    prev_sigterm = _install_preempt_handler()
+    try:
+        return _run_train_body(
+            cfg,
+            steps_per_epoch=steps_per_epoch,
+            use_mesh=use_mesh,
+            resume=resume,
+            profile_dir=profile_dir,
+            save_every_steps=save_every_steps,
+        )
+    finally:
+        _restore_sigterm(prev_sigterm)
+
+
+def _run_train_body(
+    cfg,
+    steps_per_epoch: int | None = None,
+    use_mesh: bool = True,
+    resume: str = "",
+    profile_dir: str = "",
+    save_every_steps: int = 0,
+) -> dict:
     from srganfd_tpu.parallel.mesh import maybe_init_distributed
 
     maybe_init_distributed()
@@ -417,11 +458,19 @@ def run_train(
             valid_ds, min(cfg.batch_size, len(valid_ds)), shuffle=False, loop=False,
             seed=cfg.seed, drop_last=True, num_workers=cfg.num_workers,
         )
+        # a SIGTERM during validation/epoch-end bookkeeping (which can take
+        # minutes) must still be served promptly: check at the flush
+        # boundary, let validate bail between batches, and check again
+        # after the epoch-end saves
+        _preempt_exit_if_requested()
         # the reference validates the raw generator (train_rrdbnet.py:109,
         # train_bsrgan.py:166); the EMA model is checkpointed alongside
         vm = validate(
-            cfg, trainer, state.g_params, valid_loader, valid_adapter, lpips_fn=lpips_fn
+            cfg, trainer, state.g_params, valid_loader, valid_adapter, lpips_fn=lpips_fn,
+            should_stop=lambda: bool(_PREEMPT["signum"]),
         )
+        if _PREEMPT["signum"]:
+            _preempt_exit_if_requested()
         psnr, ssim = vm["psnr"], vm["ssim"]
         epoch_metrics = {"Valid/PSNR": psnr, "Valid/SSIM": ssim, "epoch": epoch}
         lpips_str = ""
@@ -452,6 +501,7 @@ def run_train(
             if is_best:
                 tracker.log_artifact_dir(os.path.join(ckpt_dir, "ckpt_best"), "best_g_model")
             tracker.log_artifact_dir(os.path.join(ckpt_dir, "ckpt_last"), "last_g_model")
+        _preempt_exit_if_requested()
     tracker.close()
     return {"best_psnr": best["psnr"], "best_ssim": best["ssim"], "state": state}
 

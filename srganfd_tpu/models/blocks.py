@@ -437,6 +437,12 @@ def chunked_attention(
     nb = qp.shape[1] // chunk
     blocks = jnp.moveaxis(qp.reshape(n, nb, chunk, h, d), 1, 0)
 
+    # remat the block: without it, lax.map's linearization stacks each
+    # block's (n, h, chunk, T) softmax weights as residuals — O(T^2) total
+    # in the backward, defeating the chunking exactly where it matters.
+    # With remat, residuals are just the qi blocks; each block's scores are
+    # recomputed transiently (O(chunk * T) live) during the grad sweep.
+    @jax.checkpoint
     def blk(qi: jax.Array) -> jax.Array:
         logits = jnp.einsum(
             "nqhd,nkhd->nhqk", qi.astype(jnp.float32), k.astype(jnp.float32)
@@ -477,7 +483,11 @@ def large_attention(q: jax.Array, k: jax.Array, v: jax.Array, chunk: int) -> jax
         from srganfd_tpu.ops.pallas.attention import flash_attention
 
         interpret = jax.devices()[0].platform != "tpu"
-        return flash_attention(q, k, v, max(chunk, 8), 512, interpret)
+        # block_q must be sublane-aligned (multiple of 8) for the f32 VMEM
+        # BlockSpec — a user chunk like 100 would compile under interpret
+        # mode but be rejected by Mosaic on hardware
+        block_q = max(8, -(-chunk // 8) * 8)
+        return flash_attention(q, k, v, block_q, 512, interpret)
     return chunked_attention(q, k, v, chunk)
 
 

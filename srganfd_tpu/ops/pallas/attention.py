@@ -143,6 +143,11 @@ def _exact_chunked(q: jax.Array, k: jax.Array, v: jax.Array, chunk: int) -> jax.
     nb = qp.shape[1] // chunk
     blocks = jnp.moveaxis(qp.reshape(n, nb, chunk, h, d), 1, 0)
 
+    # remat keeps the VJP's residuals at O(T): without it, lax.map's
+    # linearization stacks every block's (n, h, chunk, T) softmax weights
+    # (O(T^2) total), so training through the kernel would OOM at exactly
+    # the token counts the flash forward exists for
+    @jax.checkpoint
     def blk(qi):
         logits = jnp.einsum(
             "nqhd,nkhd->nhqk", qi.astype(jnp.float32), k.astype(jnp.float32)

@@ -38,16 +38,15 @@ def save_checkpoint(
     (when ``is_best``), each a full training-state snapshot.
 
     Crash-safe: each target is written to a ``<target>.new`` staging dir
-    first and swapped in only once complete, so a kill mid-save (observed:
-    SIGTERM during an epoch-end best save destroyed the previous best and
-    left a stale orbax tmp) can never lose the previous snapshot; the
-    JSON meta sidecar is written per target immediately after its swap so
-    meta and state can't go out of sync across targets."""
+    (meta sidecar included) and swapped in via renames only — the previous
+    snapshot is renamed aside to ``<target>.old`` and deleted last, so a
+    kill at ANY point leaves at least one complete snapshot recoverable by
+    the next save's sweep (observed: SIGTERM during an epoch-end best save
+    destroyed the previous best and left a stale orbax tmp). The meta
+    sidecar travels with its snapshot through the staging/swap, so meta
+    and state can't go out of sync."""
     os.makedirs(directory, exist_ok=True)
-    # sweep incomplete writes from prior crashes (orbax tmps are never valid)
-    for entry in os.listdir(directory):
-        if entry.endswith(".orbax-checkpoint-tmp") or entry.endswith(".new"):
-            shutil.rmtree(os.path.join(directory, entry), ignore_errors=True)
+    _sweep_incomplete(directory)
     payload = {"state": _to_host(state)}
     ckptr = ocp.StandardCheckpointer()
     targets = [os.path.join(directory, f"{name}_last")]
@@ -60,11 +59,67 @@ def save_checkpoint(
         staging = os.path.abspath(t) + ".new"
         ckptr.save(staging, payload, force=True)
         ckptr.wait_until_finished()
-        if os.path.exists(t):
-            shutil.rmtree(t)
-        os.rename(staging, t)
-        with open(t + ".meta.json", "w") as f:
+        with open(staging + ".meta.json", "w") as f:
             json.dump(meta, f)
+        old = os.path.abspath(t) + ".old"
+        if os.path.exists(t):
+            os.rename(t, old)
+            if os.path.exists(t + ".meta.json"):
+                os.replace(t + ".meta.json", old + ".meta.json")
+        os.rename(staging, t)
+        if os.path.exists(staging + ".meta.json"):
+            os.replace(staging + ".meta.json", t + ".meta.json")
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(old + ".meta.json"):
+            os.remove(old + ".meta.json")
+
+
+def _sweep_incomplete(directory: str) -> None:
+    """Recover from a save killed mid-swap. Invariants of the swap order
+    (stage ``.new`` + its meta -> rename target -> ``.old`` -> promote
+    ``.new`` -> delete ``.old``): a ``.new`` dir with its meta sidecar is
+    always a COMPLETE snapshot (orbax's own tmp-rename atomicity +
+    ``wait_until_finished``); a ``.old`` dir is the previous complete
+    snapshot. Promote the newest complete snapshot into place, then drop
+    leftovers."""
+    entries = set(os.listdir(directory))
+    for entry in sorted(entries):
+        path = os.path.join(directory, entry)
+        if entry.endswith(".orbax-checkpoint-tmp"):
+            shutil.rmtree(path, ignore_errors=True)
+        elif entry.endswith(".new.meta.json") and entry[:-14] + ".new" not in entries:
+            # crash between promoting the state dir and its sidecar: the
+            # promoted snapshot owns this meta
+            base = path[: -len(".new.meta.json")]
+            if os.path.isdir(base) and not os.path.exists(base + ".meta.json"):
+                os.replace(path, base + ".meta.json")
+            else:
+                os.remove(path)
+        elif entry.endswith(".old.meta.json") and entry[:-14] + ".old" not in entries:
+            os.remove(path)  # orphan left between rmtree(old) and its sidecar
+        elif entry.endswith(".new") and os.path.isdir(path):
+            base = path[:-4]
+            if not os.path.exists(base) and os.path.exists(path + ".meta.json"):
+                # crashed between renaming target aside and promoting the
+                # staging — the staging is complete and newest: promote it
+                os.rename(path, base)
+                os.replace(path + ".meta.json", base + ".meta.json")
+            else:
+                shutil.rmtree(path, ignore_errors=True)
+                if os.path.exists(path + ".meta.json"):
+                    os.remove(path + ".meta.json")
+        elif entry.endswith(".old") and os.path.isdir(path):
+            base = path[:-4]
+            if os.path.exists(base):
+                shutil.rmtree(path, ignore_errors=True)
+                if os.path.exists(path + ".meta.json"):
+                    os.remove(path + ".meta.json")
+            else:
+                # crashed after renaming the target aside but with no
+                # complete staging to promote: restore the previous snapshot
+                os.rename(path, base)
+                if os.path.exists(path + ".meta.json"):
+                    os.replace(path + ".meta.json", base + ".meta.json")
 
 
 def load_checkpoint(path: str, template: Any | None = None) -> dict[str, Any]:

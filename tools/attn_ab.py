@@ -18,33 +18,23 @@ The result gates which backend `--attn-chunk` recommends on hardware.
 from __future__ import annotations
 
 import argparse
+import pathlib
 import sys
-import time
 
 import numpy as np
 
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
-def chain_time(body, x0, iters=8, label=""):
-    import jax
-    from jax import lax
-
-    f = jax.jit(lambda x: lax.fori_loop(0, iters, lambda i, v: body(v), x))
-    try:
-        jax.block_until_ready(f(x0))
-        t0 = time.perf_counter()
-        jax.block_until_ready(f(x0))
-        dt = (time.perf_counter() - t0) / iters
-        print(f"{label}: {dt * 1e3:.3f} ms", flush=True)
-        return dt
-    except Exception as e:  # noqa: BLE001
-        print(f"{label} FAILED: {str(e).splitlines()[0][:240]}", flush=True)
-        return None
+from tpu_profile import chain_time  # noqa: E402  (same dir; tunnel-safe timing)
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--section", default="all", choices=["all", "raw", "model"],
+                    help="raw = attention-op sweep, model = full bsrgantrans forward")
+    ap.add_argument("--min-t", type=int, default=0, help="skip raw token counts below this")
     args = ap.parse_args()
 
     import jax
@@ -68,8 +58,11 @@ def main() -> None:
         return jnp.einsum("nhqk,nkhd->nqhd", w, v.astype(jnp.float32)).astype(q.dtype)
 
     # --- raw op across token counts --------------------------------------
-    for h, d, label in [(4, 16, "bsrgantrans bottleneck"), (8, 32, "SA discriminator")]:
+    for h, d, label in [(4, 16, "bsrgantrans bottleneck"), (8, 32, "SA discriminator")] \
+            if args.section in ("all", "raw") else []:
         for t in (4096, 16384, 65536):
+            if t < args.min_t:
+                continue
             q, k, v = (
                 jnp.asarray(rng.normal(size=(1, t, h, d)).astype(np.float32)).astype(dtype)
                 for _ in range(3)
@@ -89,7 +82,7 @@ def main() -> None:
                 )
 
     # --- in-model: bsrgantrans_x2 forward at large frames -----------------
-    for lr_px in (256, 512):
+    for lr_px in (256, 512) if args.section in ("all", "model") else ():
         x = jnp.asarray(
             rng.uniform(size=(1, lr_px, lr_px, 3)).astype(np.float32)
         ).astype(dtype)

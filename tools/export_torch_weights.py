@@ -150,12 +150,16 @@ def load_params(args: argparse.Namespace) -> dict:
     from srganfd_tpu.train.checkpoint import load_checkpoint
 
     ckpt = load_checkpoint(args.ckpt)
-    key = "ema_params" if args.use_ema else "g_params"
+    # load_checkpoint nests the pytree under "state" (train/checkpoint.py
+    # payload layout); the GanTrainState field names are g_params /
+    # ema_g_params / d_params (train/state.py:17-21)
+    state = ckpt.get("state", ckpt)
+    key = "ema_g_params" if args.use_ema else "g_params"
     if args.discriminator:
         key = "d_params"
-    if key not in ckpt:
-        raise SystemExit(f"checkpoint has no {key!r} (keys: {sorted(ckpt)})")
-    return ckpt[key]
+    if key not in state:
+        raise SystemExit(f"checkpoint has no {key!r} (keys: {sorted(state)})")
+    return state[key]
 
 
 def main() -> None:
@@ -172,6 +176,12 @@ def main() -> None:
     params = load_params(args)
     if args.discriminator or args.arch == "discriminator_unet":
         sd = export_unet_discriminator(params)
+    elif args.arch.startswith("bsrgantrans"):
+        # the transformer bottleneck (Conv_1 downsample + encoder layers)
+        # has no counterpart in export_rrdb_generator's name map — a silent
+        # mis-export would load garbage through the reference's
+        # shape-filtered loader with no diagnostic
+        raise SystemExit(f"no exporter for arch {args.arch!r} (transformer bottleneck)")
     elif args.arch.startswith(("rrdbnet", "bsrgan", "realesrgan")):
         sd = export_rrdb_generator(params)
     else:
