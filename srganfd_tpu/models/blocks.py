@@ -485,9 +485,12 @@ def large_attention(q: jax.Array, k: jax.Array, v: jax.Array, chunk: int) -> jax
         interpret = jax.devices()[0].platform != "tpu"
         # block_q must be sublane-aligned (multiple of 8) for the f32 VMEM
         # BlockSpec — a user chunk like 100 would compile under interpret
-        # mode but be rejected by Mosaic on hardware
-        block_q = max(8, -(-chunk // 8) * 8)
-        return flash_attention(q, k, v, block_q, 512, interpret)
+        # mode but be rejected by Mosaic on hardware. Cap at 1024: measured
+        # on v5e (tools/attn_ab.py, docs/tpu_performance.md) (1024,1024)
+        # blocks are ~2x (512,512) at T>=16384 while 2048 gains nothing
+        # and can fail to compile at d=32.
+        block_q = min(1024, max(8, -(-chunk // 8) * 8))
+        return flash_attention(q, k, v, block_q, 1024, interpret)
     return chunked_attention(q, k, v, chunk)
 
 
