@@ -83,3 +83,49 @@ def test_interrupted_save_preserves_previous_snapshot(trained_state, tmp_path, m
     assert ckpt.load_checkpoint(str(tmp_path / "ckpt_best"), template=state)["epoch"] == 2
     leftovers = [p for p in tmp_path.iterdir() if p.name.endswith((".new", ".orbax-checkpoint-tmp"))]
     assert not leftovers
+
+
+def test_sweep_recovers_mid_swap_states(trained_state, tmp_path):
+    """Every crash window of the rename-swap is recoverable by the next
+    save's sweep: a complete ``.new`` (with meta) is promoted when the
+    target is missing; a ``.old`` is restored when no staging superseded
+    it; an orphan ``.new.meta.json`` is adopted by its promoted snapshot;
+    a meta-less ``.new`` is discarded."""
+    import os
+    import shutil
+
+    tr, state = trained_state
+    d = str(tmp_path)
+    ckpt.save_checkpoint(d, state, epoch=1, best_metrics={"psnr": 30.0}, is_best=False)
+
+    # crash between "rename target aside" and "promote staging":
+    # base missing, complete .new (with meta) + .old both present -> the
+    # NEWER .new must win
+    last = os.path.join(d, "ckpt_last")
+    shutil.copytree(last, last + ".new")
+    shutil.copy(last + ".meta.json", last + ".new.meta.json")
+    with open(last + ".new.meta.json", "w") as f:
+        f.write('{"epoch": 7, "best_metrics": {}}')
+    os.rename(last, last + ".old")
+    os.replace(last + ".meta.json", last + ".old.meta.json")
+    ckpt._sweep_incomplete(d)
+    assert ckpt.load_checkpoint(last, template=state)["epoch"] == 7
+    assert not os.path.exists(last + ".new") and not os.path.exists(last + ".old")
+
+    # crash just after "rename target aside" with no complete staging:
+    # the .old must be restored
+    os.rename(last, last + ".old")
+    os.replace(last + ".meta.json", last + ".old.meta.json")
+    os.makedirs(last + ".new")  # meta-less staging: incomplete, must be dropped
+    ckpt._sweep_incomplete(d)
+    assert ckpt.load_checkpoint(last, template=state)["epoch"] == 7
+    assert not os.path.exists(last + ".new")
+
+    # crash between promoting the state dir and its meta sidecar:
+    # the orphan .new.meta.json belongs to the promoted snapshot
+    os.remove(last + ".meta.json")
+    with open(last + ".new.meta.json", "w") as f:
+        f.write('{"epoch": 9, "best_metrics": {}}')
+    ckpt._sweep_incomplete(d)
+    assert ckpt.load_checkpoint(last, template=state)["epoch"] == 9
+    assert not os.path.exists(last + ".new.meta.json")

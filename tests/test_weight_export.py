@@ -118,3 +118,61 @@ def test_unet_discriminator_export_round_trip():
     # SN triplet present and sigma-normalized: ||weight||_2 == 1
     w = back["down_block1.0.weight"].reshape(back["down_block1.0.weight"].shape[0], -1)
     assert abs(np.linalg.norm(w, 2) - 1.0) < 1e-4
+
+
+def test_load_params_from_orbax_ckpt(tmp_path):
+    """The documented primary usage — ``--ckpt <orbax dir>`` — must find
+    params under payload["state"] with the real GanTrainState field names
+    (g_params / ema_g_params / d_params); round 2 shipped with a lookup at
+    the payload top level that failed on every checkpoint."""
+    import argparse
+
+    from srganfd_tpu.configs import get_config
+    from srganfd_tpu.train import checkpoint as ckpt
+    from srganfd_tpu.train.loop import Trainer
+
+    cfg = get_config("rrdbnet").replace(
+        compute_dtype="float32",
+        g_kwargs={"channels": 8, "growth_channels": 4, "num_blocks": 1},
+    )
+    tr = Trainer(cfg, steps_per_epoch=2)
+    gt = jnp.asarray(np.random.default_rng(0).uniform(size=(1, 16, 16, 3)).astype(np.float32))
+    state = tr.init_state(jax.random.PRNGKey(0), gt[:, ::4, ::4, :].shape, gt.shape)
+    ckpt.save_checkpoint(str(tmp_path), state, epoch=0, best_metrics={}, is_best=False)
+
+    def args(**kw):
+        base = dict(npz="", ckpt=str(tmp_path / "ckpt_last"),
+                    use_ema=False, discriminator=False)
+        base.update(kw)
+        return argparse.Namespace(**base)
+
+    got = export.load_params(args())
+    want = jax.tree_util.tree_map(np.asarray, state.g_params)
+    for a, b in zip(jax.tree_util.tree_leaves(got), jax.tree_util.tree_leaves(want)):
+        np.testing.assert_array_equal(np.asarray(a), b)
+
+    ema = export.load_params(args(use_ema=True))
+    assert jax.tree_util.tree_structure(ema) == jax.tree_util.tree_structure(want)
+
+    # the exported dict must drive the torch twin (end-to-end --ckpt flow)
+    sd = export.export_rrdb_generator(jax.tree_util.tree_map(np.asarray, got))
+    tmodel = _TorchRRDBNetX4(ch=8, gc=4, nb=1).eval()
+    missing, unexpected = tmodel.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v).copy()) for k, v in sd.items()}, strict=True
+    )
+    assert not missing and not unexpected
+
+
+def test_bsrgantrans_export_refused(tmp_path, monkeypatch):
+    """bsrgantrans_* must be refused by main(), not silently mis-exported
+    through the RRDB name map (its transformer bottleneck has no torch
+    counterpart there; "bsrgantrans" startswith "bsrgan")."""
+    npz = tmp_path / "p.npz"
+    np.savez(npz, **{"Conv_0.kernel": np.zeros((3, 3, 3, 8), np.float32)})
+    monkeypatch.setattr(
+        sys, "argv",
+        ["export_torch_weights.py", "--arch", "bsrgantrans_x2",
+         "--npz", str(npz), "--out", str(tmp_path / "o.pth")],
+    )
+    with pytest.raises(SystemExit, match="bsrgantrans"):
+        export.main()
