@@ -1,0 +1,412 @@
+"""Persistent super-resolution serving daemon.
+
+Generalizes the reference's one-shot ``inference.py`` (``ESRGAN/
+inference.py:79-102``) into a production server: the model is built and
+compiled ONCE per shape bucket and stays resident; requests stream in
+over one of three transports and SR frames stream out. This is the
+deployment story for the thesis's CFD workload — a solver drops frames,
+the daemon upscales them continuously.
+
+Transports (pick one):
+  --stdio            JSONL on stdin/stdout. One request per line:
+                       {"input": "lr.png", "output": "sr.png"[, "id": x]}
+                     replied with
+                       {"id", "output", "ms", "in_hw", "out_hw", "ok"}
+                     EOF or {"cmd": "shutdown"} stops the daemon.
+  --watch DIR        poll DIR for new/updated frames; SR each into
+                     --output DIR (same basename). `--once` drains the
+                     backlog and exits (cron mode).
+  --port N           HTTP: POST /sr with an encoded image body returns
+                     the SR PNG; GET /healthz -> 200 "ok";
+                     GET /stats -> JSON counters. Single-threaded by
+                     design: the one TPU serializes compute anyway.
+
+TPU-first serving behaviors:
+  - shape bucketing: ``--bucket M`` reflect-pads inputs up to multiples
+    of M so a size-varied stream compiles <= #buckets programs (the SR
+    output is cropped back to scale * the true size; seam effects are
+    confined to the generator's receptive field at the padded edge —
+    use --bucket 0 for exact per-shape compiles).
+  - ``--warmup HxW[,HxW...]`` pre-compiles the hot shapes before the
+    transport opens, so the first real frame doesn't pay the 20-40 s
+    cold compile.
+  - ``--half`` serves in bfloat16 (the measured-fastest mode on v5e —
+    docs/tpu_performance.md); --quant-int8 / --self-ensemble / --tile
+    compose like the one-shot CLI.
+  - request latency percentiles (p50/p95) and per-bucket compile counts
+    are tracked and reported on shutdown (and at GET /stats).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+__all__ = ["ServingEngine", "main"]
+
+
+def _pad_to_multiple(img: np.ndarray, mult: int) -> tuple[np.ndarray, int, int]:
+    """Reflect-pad HWC to the next (mult, mult) multiple; returns the true
+    (h, w) for crop-back (same scheme as ``cli.test``'s bucketed eval)."""
+    h, w = img.shape[:2]
+    if mult <= 1:
+        return img, h, w
+    ph = (-h) % mult
+    pw = (-w) % mult
+    if ph or pw:
+        img = np.pad(img, ((0, ph), (0, pw), (0, 0)), mode="reflect")
+    return img, h, w
+
+
+class ServingEngine:
+    """Resident model + compiled-program cache + request statistics."""
+
+    def __init__(
+        self,
+        arch: str,
+        weights: str = "",
+        use_ema: bool = False,
+        half: bool = False,
+        quant_int8: bool = False,
+        self_ensemble: bool = False,
+        tile: int = 0,
+        tile_overlap: int = 16,
+        bucket: int = 0,
+        attn_chunk: int = 0,
+        attn_backend: str = "chunked",
+        model_kwargs: dict | None = None,
+    ) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        from srganfd_tpu.models import create_model
+        from srganfd_tpu.models.registry import arch_accepts
+
+        if attn_backend != "chunked":
+            from srganfd_tpu.models.blocks import set_attention_backend
+
+            set_attention_backend(attn_backend)
+        kwargs = {}
+        if half:
+            kwargs["dtype"] = jnp.bfloat16
+        if quant_int8 and arch_accepts(arch, "quant"):
+            kwargs["quant"] = True
+        if attn_chunk and arch_accepts(arch, "attn_chunk"):
+            kwargs["attn_chunk"] = attn_chunk
+        kwargs.update(model_kwargs or {})
+        self.model = create_model(arch, **kwargs)
+        self.bucket = int(bucket)
+        self.tile = int(tile)
+        self.tile_overlap = int(tile_overlap)
+        self.self_ensemble = bool(self_ensemble)
+        self._apply = jax.jit(lambda p, z: self.model.apply({"params": p}, z))
+
+        probe = jnp.zeros((1, 16, 16, 3), jnp.float32)
+        if weights:
+            from srganfd_tpu.train import checkpoint as ckpt
+
+            payload = ckpt.load_checkpoint(weights)
+            self.params = payload["state"]["ema_g_params" if use_ema else "g_params"]
+        else:
+            print("! no --weights: serving randomly initialized parameters", file=sys.stderr)
+            self.params = self.model.init(jax.random.PRNGKey(0), probe)["params"]
+        self.upscale = int(np.asarray(self._apply(self.params, probe)).shape[1] // 16)
+
+        self.served = 0
+        self.failed = 0
+        self.latencies_ms: list[float] = []
+        self._compiled: set[tuple[int, int]] = set()
+
+    # -- core -------------------------------------------------------------
+    def sr_array(self, img: np.ndarray) -> np.ndarray:
+        """float32 HWC [0,1] -> SR HWC [0,1]; pads to the bucket, crops
+        back to ``upscale * true_size``."""
+        import jax.numpy as jnp
+
+        padded, h, w = _pad_to_multiple(img, self.bucket)
+        self._compiled.add(padded.shape[:2])
+        if self.tile:
+            from srganfd_tpu.parallel.tiled_inference import tiled_sr
+
+            run_one = lambda im: tiled_sr(
+                self._apply, self.params, im, self.upscale,
+                tile=self.tile, overlap=self.tile_overlap,
+            )
+            if self.self_ensemble:
+                from srganfd_tpu.ops.self_ensemble import self_ensemble
+
+                sr = self_ensemble(run_one, padded)
+            else:
+                sr = np.asarray(run_one(padded))
+        elif self.self_ensemble:
+            from srganfd_tpu.ops.self_ensemble import self_ensemble_batched
+
+            sr = self_ensemble_batched(self._apply, self.params, padded)
+        else:
+            sr = np.asarray(self._apply(self.params, jnp.asarray(padded)[None])[0])
+        return np.asarray(sr, np.float32)[: h * self.upscale, : w * self.upscale]
+
+    def sr_file(self, in_path: str, out_path: str) -> dict:
+        """Decode -> SR -> encode; returns the reply record."""
+        import cv2
+
+        from srganfd_tpu.data.datasets import load_image_rgb
+
+        t0 = time.perf_counter()
+        img = load_image_rgb(in_path)
+        sr = self.sr_array(img)
+        sr8 = np.clip(sr * 255.0, 0, 255).astype(np.uint8)
+        out_dir = os.path.dirname(os.path.abspath(out_path))
+        os.makedirs(out_dir, exist_ok=True)
+        if not cv2.imwrite(out_path, sr8[..., ::-1]):
+            raise IOError(f"failed to encode {out_path}")
+        ms = (time.perf_counter() - t0) * 1e3
+        self.served += 1
+        self.latencies_ms.append(ms)
+        return {
+            "output": out_path,
+            "ms": round(ms, 2),
+            "in_hw": list(img.shape[:2]),
+            "out_hw": list(sr8.shape[:2]),
+            "ok": True,
+        }
+
+    def warmup(self, shapes: list[tuple[int, int]]) -> None:
+        for h, w in shapes:
+            t0 = time.perf_counter()
+            self.sr_array(np.zeros((h, w, 3), np.float32))
+            print(
+                f"warmup {h}x{w}: {(time.perf_counter() - t0):.1f}s",
+                file=sys.stderr, flush=True,
+            )
+        self.served = 0
+        self.latencies_ms.clear()
+
+    def stats(self) -> dict:
+        lat = sorted(self.latencies_ms)
+        pick = lambda q: round(lat[min(len(lat) - 1, int(q * len(lat)))], 2) if lat else None
+        return {
+            "served": self.served,
+            "failed": self.failed,
+            "p50_ms": pick(0.50),
+            "p95_ms": pick(0.95),
+            "compiled_shapes": sorted(self._compiled),
+            "upscale": self.upscale,
+        }
+
+
+# -- transports -----------------------------------------------------------
+
+
+def serve_stdio(engine: ServingEngine, inp=None, out=None) -> None:
+    """JSONL request/reply loop; injectable streams for tests."""
+    inp = inp if inp is not None else sys.stdin
+    out = out if out is not None else sys.stdout
+    for line in inp:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            req = json.loads(line)
+        except json.JSONDecodeError as e:
+            print(json.dumps({"ok": False, "error": f"bad json: {e}"}), file=out, flush=True)
+            engine.failed += 1
+            continue
+        if req.get("cmd") == "shutdown":
+            break
+        if req.get("cmd") == "stats":
+            print(json.dumps(engine.stats()), file=out, flush=True)
+            continue
+        try:
+            reply = engine.sr_file(req["input"], req["output"])
+        except Exception as e:  # noqa: BLE001 — a bad frame must not kill the daemon
+            engine.failed += 1
+            reply = {"ok": False, "error": str(e)[:300]}
+        if "id" in req:
+            reply["id"] = req["id"]
+        print(json.dumps(reply), file=out, flush=True)
+
+
+def serve_watch(
+    engine: ServingEngine, in_dir: str, out_dir: str,
+    poll_s: float = 0.5, once: bool = False, should_stop=None,
+) -> int:
+    """Poll ``in_dir``; SR any new/updated frame into ``out_dir``. A frame
+    is picked up when its mtime settles (two consecutive polls equal) so
+    half-written files from the producer aren't decoded mid-copy. Frames
+    whose output already exists and is at least as new as the input are
+    skipped — restarts and ``--once`` cron passes are idempotent."""
+    from srganfd_tpu.data.datasets import list_image_files
+
+    seen: dict[str, float] = {}
+    pending: dict[str, float] = {}
+    done = 0
+    while True:
+        for p in list_image_files(in_dir):
+            try:
+                mt = os.path.getmtime(p)
+            except OSError:
+                continue
+            if seen.get(p) == mt:
+                continue
+            out_p = os.path.join(out_dir, os.path.basename(p))
+            if os.path.exists(out_p) and os.path.getmtime(out_p) >= mt:
+                seen[p] = mt
+                continue
+            if pending.get(p) == mt or once:
+                reply = None
+                try:
+                    reply = engine.sr_file(p, os.path.join(out_dir, os.path.basename(p)))
+                except Exception as e:  # noqa: BLE001
+                    engine.failed += 1
+                    print(f"! {p}: {e}", file=sys.stderr, flush=True)
+                seen[p] = mt
+                pending.pop(p, None)
+                done += 1
+                if reply:
+                    print(json.dumps({"input": p, **reply}), flush=True)
+            else:
+                pending[p] = mt  # wait one poll for the mtime to settle
+        if once:
+            return done
+        if should_stop is not None and should_stop():
+            return done
+        time.sleep(poll_s)
+
+
+def serve_http(engine: ServingEngine, port: int, host: str = "127.0.0.1") -> None:
+    """Minimal stdlib HTTP server: POST /sr (image body, any cv2-decodable
+    format) -> PNG; GET /healthz, /stats. Single-threaded: the single
+    TPU serializes the compute path regardless."""
+    import http.server
+
+    import cv2
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, fmt, *a):  # quiet: stats cover observability
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 (stdlib API)
+            if self.path == "/healthz":
+                self._send(200, b"ok", "text/plain")
+            elif self.path == "/stats":
+                self._send(200, json.dumps(engine.stats()).encode(), "application/json")
+            else:
+                self._send(404, b"not found", "text/plain")
+
+        def do_POST(self):  # noqa: N802
+            if self.path != "/sr":
+                self._send(404, b"not found", "text/plain")
+                return
+            n = int(self.headers.get("Content-Length", 0))
+            raw = np.frombuffer(self.rfile.read(n), np.uint8)
+            img = cv2.imdecode(raw, cv2.IMREAD_COLOR)
+            if img is None:
+                engine.failed += 1
+                self._send(400, b"undecodable image", "text/plain")
+                return
+            t0 = time.perf_counter()
+            sr = engine.sr_array(np.asarray(img[..., ::-1], np.float32) / 255.0)
+            sr8 = np.clip(sr * 255.0, 0, 255).astype(np.uint8)
+            ok, buf = cv2.imencode(".png", sr8[..., ::-1])
+            if not ok:
+                engine.failed += 1
+                self._send(500, b"encode failed", "text/plain")
+                return
+            engine.served += 1
+            engine.latencies_ms.append((time.perf_counter() - t0) * 1e3)
+            self._send(200, buf.tobytes(), "image/png")
+
+    with http.server.HTTPServer((host, port), Handler) as srv:
+        print(f"serving on http://{host}:{port} (POST /sr)", file=sys.stderr, flush=True)
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:
+            pass
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="srganfd_tpu serving daemon")
+    ap.add_argument("--model-arch", dest="arch", default="rrdbnet_x4")
+    ap.add_argument("--weights", default="")
+    ap.add_argument("--use-ema", action="store_true")
+    ap.add_argument("--device-type", dest="device", default="tpu", choices=["cpu", "tpu"])
+    mode = ap.add_mutually_exclusive_group(required=True)
+    mode.add_argument("--stdio", action="store_true", help="JSONL on stdin/stdout")
+    mode.add_argument("--watch", default="", help="poll this dir for frames")
+    mode.add_argument("--port", type=int, default=0, help="HTTP server port")
+    ap.add_argument("--output", default="", help="output dir (watch mode)")
+    ap.add_argument("--once", action="store_true", help="watch: drain backlog and exit")
+    ap.add_argument("--poll-interval", type=float, default=0.5)
+    ap.add_argument("--bucket", type=int, default=0,
+                    help="pad inputs to multiples of this (<= #buckets compiles); 0 = exact shapes")
+    ap.add_argument("--warmup", default="", help="pre-compile shapes, e.g. 256x256,512x512")
+    ap.add_argument("--half", action="store_true")
+    ap.add_argument("--quant-int8", action="store_true")
+    ap.add_argument("--self-ensemble", action="store_true")
+    ap.add_argument("--tile", type=int, default=0)
+    ap.add_argument("--tile-overlap", type=int, default=16)
+    ap.add_argument("--attn-chunk", type=int, default=0)
+    ap.add_argument("--attn-backend", choices=["chunked", "flash"], default="chunked")
+    args = ap.parse_args()
+
+    if args.device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    if args.watch and not args.output:
+        ap.error("--watch requires --output")
+
+    engine = ServingEngine(
+        args.arch, weights=args.weights, use_ema=args.use_ema, half=args.half,
+        quant_int8=args.quant_int8, self_ensemble=args.self_ensemble,
+        tile=args.tile, tile_overlap=args.tile_overlap, bucket=args.bucket,
+        attn_chunk=args.attn_chunk, attn_backend=args.attn_backend,
+    )
+    if args.warmup:
+        shapes = [tuple(int(v) for v in s.split("x")) for s in args.warmup.split(",")]
+        engine.warmup(shapes)
+
+    # graceful drain: SIGTERM/SIGINT finish the in-flight frame, then the
+    # loop exits and final stats land on stderr
+    stop = {"flag": False}
+
+    def _stop(signum, frame):  # pragma: no cover - signal path
+        stop["flag"] = True
+        print(f"signal {signum}: draining", file=sys.stderr, flush=True)
+
+    import signal as _signal
+
+    try:
+        _signal.signal(_signal.SIGTERM, _stop)
+    except ValueError:
+        pass
+
+    try:
+        if args.stdio:
+            serve_stdio(engine)
+        elif args.watch:
+            serve_watch(
+                engine, args.watch, args.output, poll_s=args.poll_interval,
+                once=args.once, should_stop=lambda: stop["flag"],
+            )
+        else:
+            serve_http(engine, args.port)
+    finally:
+        print(json.dumps({"final_stats": engine.stats()}), file=sys.stderr, flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,149 @@
+"""Serving daemon: engine semantics, stdio protocol, watch mode, HTTP.
+
+The daemon generalizes the reference's one-shot ``ESRGAN/inference.py``
+into a persistent server; these tests drive each transport end-to-end
+with a tiny generator on CPU.
+"""
+
+import io
+import json
+import os
+import threading
+import urllib.request
+
+import cv2
+import numpy as np
+import pytest
+
+from srganfd_tpu.cli.serve import ServingEngine, serve_stdio, serve_watch
+
+TINY = {"channels": 8, "growth_channels": 4, "num_blocks": 1}
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return ServingEngine("rrdbnet_x4", model_kwargs=TINY, bucket=16)
+
+
+def _write_png(path, h=20, w=24, seed=0):
+    rng = np.random.default_rng(seed)
+    img = (rng.uniform(size=(h, w, 3)) * 255).astype(np.uint8)
+    cv2.imwrite(str(path), img)
+    return img
+
+
+def test_bucketed_sr_crops_back_to_true_size(engine):
+    """A 20x24 input padded to the 32x32 bucket must come back as exactly
+    (80, 96) — upscale * the TRUE size, not the padded one."""
+    img = np.random.default_rng(0).uniform(size=(20, 24, 3)).astype(np.float32)
+    sr = engine.sr_array(img)
+    assert sr.shape == (80, 96, 3)
+    # same-bucket sizes share one compiled shape
+    engine.sr_array(np.zeros((17, 30, 3), np.float32))
+    assert engine.stats()["compiled_shapes"] == [(32, 32)]
+
+
+def test_bucket_padding_is_borderless_in_the_interior(engine):
+    """Pad+crop must equal the exact-shape result away from the padded
+    edge (seam effects are confined to the receptive field)."""
+    exact = ServingEngine("rrdbnet_x4", model_kwargs=TINY, bucket=0)
+    exact.params = engine.params
+    img = np.random.default_rng(1).uniform(size=(24, 24, 3)).astype(np.float32)
+    a = engine.sr_array(np.pad(img, ((0, 4), (0, 4), (0, 0)), mode="reflect"))[:96, :96]
+    b = exact.sr_array(np.pad(img, ((0, 4), (0, 4), (0, 0)), mode="reflect"))[:96, :96]
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_stdio_protocol(engine, tmp_path):
+    _write_png(tmp_path / "f0.png")
+    _write_png(tmp_path / "f1.png", h=20, w=24, seed=1)
+    reqs = [
+        {"id": 1, "input": str(tmp_path / "f0.png"), "output": str(tmp_path / "sr0.png")},
+        {"input": "/nonexistent.png", "output": str(tmp_path / "bad.png")},
+        {"cmd": "stats"},
+        {"id": 2, "input": str(tmp_path / "f1.png"), "output": str(tmp_path / "sr1.png")},
+        {"cmd": "shutdown"},
+        {"id": 3, "input": str(tmp_path / "f1.png"), "output": str(tmp_path / "sr2.png")},
+    ]
+    out = io.StringIO()
+    serve_stdio(engine, inp=io.StringIO("\n".join(json.dumps(r) for r in reqs)), out=out)
+    replies = [json.loads(l) for l in out.getvalue().splitlines()]
+    assert len(replies) == 4  # 2 frames + 1 error + 1 stats; post-shutdown line unserved
+    assert replies[0]["ok"] and replies[0]["id"] == 1
+    assert replies[0]["out_hw"] == [80, 96]
+    assert not replies[1]["ok"] and "error" in replies[1]
+    assert "served" in replies[2]  # stats record
+    assert replies[3]["ok"] and replies[3]["id"] == 2
+    assert os.path.exists(tmp_path / "sr0.png") and os.path.exists(tmp_path / "sr1.png")
+    assert not os.path.exists(tmp_path / "sr2.png")  # after shutdown
+    sr0 = cv2.imread(str(tmp_path / "sr0.png"))
+    assert sr0.shape == (80, 96, 3)
+
+
+def test_watch_once_drains_backlog(engine, tmp_path):
+    in_dir, out_dir = tmp_path / "in", tmp_path / "out"
+    in_dir.mkdir()
+    for i in range(3):
+        _write_png(in_dir / f"f{i}.png", seed=i)
+    done = serve_watch(engine, str(in_dir), str(out_dir), once=True)
+    assert done == 3
+    assert sorted(os.listdir(out_dir)) == ["f0.png", "f1.png", "f2.png"]
+    # a second pass with nothing new is a no-op
+    assert serve_watch(engine, str(in_dir), str(out_dir), once=True) == 0
+
+
+def test_watch_reprocesses_updated_frames(engine, tmp_path):
+    in_dir, out_dir = tmp_path / "in", tmp_path / "out"
+    in_dir.mkdir()
+    _write_png(in_dir / "f.png", seed=0)
+    assert serve_watch(engine, str(in_dir), str(out_dir), once=True) == 1
+    _write_png(in_dir / "f.png", seed=9)
+    import time
+
+    future = time.time() + 100
+    os.utime(in_dir / "f.png", (future, future))  # updated after its output
+    assert serve_watch(engine, str(in_dir), str(out_dir), once=True) == 1
+
+
+def test_http_transport(engine, tmp_path):
+    import http.server
+    import socket
+
+    from srganfd_tpu.cli import serve as serve_mod
+
+    # bind port 0 for a free port; reuse serve_http's handler wiring by
+    # constructing the server in a thread and shutting it down after
+    img = _write_png(tmp_path / "req.png", h=16, w=16)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    t = threading.Thread(
+        target=serve_mod.serve_http, args=(engine, port), daemon=True
+    )
+    t.start()
+    # poll /healthz until up
+    for _ in range(100):
+        try:
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz", timeout=1) as r:
+                assert r.read() == b"ok"
+            break
+        except Exception:
+            import time
+
+            time.sleep(0.05)
+    else:
+        raise AssertionError("server did not come up")
+
+    ok, buf = cv2.imencode(".png", img)
+    assert ok
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/sr", data=buf.tobytes(), method="POST"
+    )
+    with urllib.request.urlopen(req, timeout=60) as r:
+        sr = cv2.imdecode(np.frombuffer(r.read(), np.uint8), cv2.IMREAD_COLOR)
+    assert sr.shape == (64, 64, 3)
+
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/stats", timeout=5) as r:
+        stats = json.loads(r.read())
+    assert stats["served"] >= 1 and stats["upscale"] == 4
