@@ -23,6 +23,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <map>
 #include <memory>
 #include <mutex>
 #include <queue>
@@ -185,11 +186,19 @@ struct Loader {
   uint64_t seed;
 
   std::vector<std::thread> workers;
-  std::queue<std::vector<uint8_t>> ready;  // raw bytes (float or uint8 batches)
+  // Batches are assembled concurrently but EMITTED in batch-id order: a
+  // worker parks its finished batch in `ready` keyed by id and next()
+  // releases only `next_emit`. This makes the emitted stream a pure
+  // function of (seed, start batch) — deterministic across restarts and
+  // thread counts, which exact mid-run resume (and the python loader's
+  // restart-determinism contract) requires. A plain FIFO queue raced:
+  // whichever worker finished first was emitted first.
+  std::map<uint64_t, std::vector<uint8_t>> ready;
   std::mutex mu;
   std::condition_variable cv_ready, cv_space;
   std::atomic<bool> stop{false};
   std::atomic<uint64_t> batch_counter{0};
+  uint64_t next_emit = 0;  // guarded by mu
   size_t max_queue = 8;
 
   // Decoded-image cache (first-fill, no eviction, byte-budgeted via
@@ -262,9 +271,12 @@ struct Loader {
         }
       }
       std::unique_lock<std::mutex> lk(mu);
-      cv_space.wait(lk, [&] { return ready.size() < max_queue || stop.load(); });
+      // reserve space by batch id: the holder of next_emit can always
+      // push (b - next_emit == 0 < max_queue), so ordered emission can't
+      // deadlock even when later batches finish first
+      cv_space.wait(lk, [&] { return b - next_emit < max_queue || stop.load(); });
       if (stop.load()) return;
-      ready.push(std::move(buf));
+      ready.emplace(b, std::move(buf));
       cv_ready.notify_one();
     }
   }
@@ -276,11 +288,14 @@ struct Loader {
 
   bool next(void* out) {
     std::unique_lock<std::mutex> lk(mu);
-    cv_ready.wait(lk, [&] { return !ready.empty() || stop.load(); });
-    if (ready.empty()) return false;
-    std::vector<uint8_t> buf = std::move(ready.front());
-    ready.pop();
-    cv_space.notify_one();
+    cv_ready.wait(lk, [&] { return ready.count(next_emit) != 0 || stop.load(); });
+    auto it = ready.find(next_emit);
+    if (it == ready.end()) return false;
+    std::vector<uint8_t> buf = std::move(it->second);
+    ready.erase(it);
+    ++next_emit;
+    // all parked producers re-check their b-relative space predicate
+    cv_space.notify_all();
     lk.unlock();
     std::memcpy(out, buf.data(), buf.size());
     return true;
@@ -299,8 +314,9 @@ struct Loader {
 
 extern "C" {
 
-void* loader_create2(const char** paths, int n_paths, int crop, int batch,
-                     uint64_t seed, int n_threads, int train, int out_u8) {
+void* loader_create3(const char** paths, int n_paths, int crop, int batch,
+                     uint64_t seed, int n_threads, int train, int out_u8,
+                     uint64_t start_batch) {
   auto* l = new Loader();
   l->paths.assign(paths, paths + n_paths);
   l->crop = crop;
@@ -309,6 +325,11 @@ void* loader_create2(const char** paths, int n_paths, int crop, int batch,
   l->threads = n_threads > 0 ? n_threads : 4;
   l->train = train != 0;
   l->u8 = out_u8 != 0;
+  // O(1) seek: every batch is a pure function of (seed, batch id) — the
+  // per-sample RNG and the epoch permutation are both derived from `b`
+  // alone — so resuming at batch k just starts the counters there.
+  l->batch_counter.store(start_batch);
+  l->next_emit = start_batch;
   const char* mb = std::getenv("SRGANFD_LOADER_CACHE_MB");
   size_t budget_mb = mb ? size_t(std::strtoull(mb, nullptr, 10)) : 2048;
   l->cache_budget = budget_mb << 20;
@@ -317,10 +338,17 @@ void* loader_create2(const char** paths, int n_paths, int crop, int batch,
   return l;
 }
 
+void* loader_create2(const char** paths, int n_paths, int crop, int batch,
+                     uint64_t seed, int n_threads, int train, int out_u8) {
+  return loader_create3(paths, n_paths, crop, batch, seed, n_threads, train,
+                        out_u8, 0);
+}
+
 // Legacy ABI entry (pre-uint8-transport callers): float32 output.
 void* loader_create(const char** paths, int n_paths, int crop, int batch,
                     uint64_t seed, int n_threads, int train) {
-  return loader_create2(paths, n_paths, crop, batch, seed, n_threads, train, 0);
+  return loader_create3(paths, n_paths, crop, batch, seed, n_threads, train, 0,
+                        0);
 }
 
 int loader_next(void* handle, void* out) {

@@ -34,8 +34,7 @@ __all__ = ["DegradationAdapter"]
 class DegradationAdapter:
     def __init__(self, cfg: ExperimentConfig, seed: int = 0, train: bool = True) -> None:
         self.cfg = cfg
-        # per-host RNG fold-in: hosts draw independent degradation plans
-        self.rng = np.random.default_rng((seed, jax.process_index()))
+        self.seed = seed
         self.train = train
 
         @jax.jit
@@ -48,8 +47,17 @@ class DegradationAdapter:
 
         self._bicubic_pair = _bicubic_pair
 
+    def step_rng(self, step: int) -> np.random.Generator:
+        """Degradation randomness is keyed by (seed, host, step) — the
+        numpy analog of ``jax.random.fold_in``. Stateless: resuming a run
+        at step N redraws exactly the plans the uninterrupted run would
+        have drawn, with no host-side replay (a sequential generator would
+        need its whole draw history re-executed)."""
+        return np.random.default_rng((self.seed, jax.process_index(), step))
+
     def __call__(self, host_batch: dict[str, np.ndarray], step: int) -> dict[str, Any]:
         cfg = self.cfg
+        rng = self.step_rng(step)
         n = int(np.shape(host_batch["gt"])[0])
         if cfg.degradation == "paired":
             return {
@@ -65,7 +73,7 @@ class DegradationAdapter:
             from srganfd_tpu.ops.degrade import apply_bsrgan_batch_cropped, bsrgan_lr_size
 
             plan = plan_bsrgan_batch(
-                self.rng,
+                rng,
                 n,
                 cfg.upscale_factor,
                 jpeg_prob=cfg.degradation_params.get("jpeg_prob", 0.9),
@@ -85,8 +93,8 @@ class DegradationAdapter:
             sf = cfg.upscale_factor
             lr_edge = bsrgan_lr_size(int(np.shape(host_batch["gt"])[1]), plan)
             lr_limit = lr_edge - cfg.gt_image_size // sf
-            tops = self.rng.integers(0, lr_limit + 1, n)
-            lefts = self.rng.integers(0, lr_limit + 1, n)
+            tops = rng.integers(0, lr_limit + 1, n)
+            lefts = rng.integers(0, lr_limit + 1, n)
             gt_c, lr_c = apply_bsrgan_batch_cropped(
                 host_batch["gt"], plan, tops, lefts, cfg.gt_image_size, sf
             )
@@ -98,9 +106,9 @@ class DegradationAdapter:
             p = cfg.degradation_params["process"]
             gt_shape = np.shape(host_batch["gt"])
             plan = plan_realesrgan_batch(
-                self.rng, n, (gt_shape[1], gt_shape[2]), cfg.upscale_factor, p
+                rng, n, (gt_shape[1], gt_shape[2]), cfg.upscale_factor, p
             )
-            key = jax.random.PRNGKey(int(self.rng.integers(0, 2**31)))
+            key = jax.random.PRNGKey(int(rng.integers(0, 2**31)))
             if not self.train:
                 gt = jnp.asarray(host_batch["gt"])
                 gt_usm = usm_sharp(gt)
@@ -119,11 +127,11 @@ class DegradationAdapter:
             sf = cfg.upscale_factor
             lr_limit_h = plan.final_size[0] - cfg.gt_image_size // sf
             lr_limit_w = plan.final_size[1] - cfg.gt_image_size // sf
-            tops = self.rng.integers(0, max(lr_limit_h, 0) + 1, n)
-            lefts = self.rng.integers(0, max(lr_limit_w, 0) + 1, n)
-            hf = (self.rng.random(n) < 0.5).astype(np.float32)
-            vf = (self.rng.random(n) < 0.5).astype(np.float32)
-            rot = (self.rng.random(n) < 0.5).astype(np.float32)
+            tops = rng.integers(0, max(lr_limit_h, 0) + 1, n)
+            lefts = rng.integers(0, max(lr_limit_w, 0) + 1, n)
+            hf = (rng.random(n) < 0.5).astype(np.float32)
+            vf = (rng.random(n) < 0.5).astype(np.float32)
+            rot = (rng.random(n) < 0.5).astype(np.float32)
             gt_c, usm_c, lr_c = apply_realesrgan_train_batch(
                 host_batch["gt"],
                 jnp.asarray(host_batch["kernel1"]),

@@ -109,13 +109,11 @@ def validate(
     PSNR/SSIM with crop_border = upscale_factor, plus LPIPS when a metric
     fn is given (``BSRGAN/train_bsrgan.py:515-607`` surface).
 
-    The adapter's RNG is reset each pass so every epoch validates on the
-    SAME degradations: metrics are epoch-comparable and no new
-    degradation-plan variants need compiling after the first epoch (the
-    reference's global torch RNG instead drifts per epoch)."""
-    import jax as _jax
-
-    adapter.rng = np.random.default_rng((cfg.seed + 1, _jax.process_index()))
+    The adapter keys its RNG by (seed, host, step) and validation passes
+    steps 0..n, so every epoch validates on the SAME degradations:
+    metrics are epoch-comparable and no new degradation-plan variants
+    need compiling after the first epoch (the reference's global torch
+    RNG instead drifts per epoch)."""
     psnrs, ssims, lpipses = [], [], []
     for i, host_batch in enumerate(valid_loader):
         if i >= max_batches or (should_stop is not None and should_stop()):
@@ -197,6 +195,45 @@ def _run_train_body(
     train_ds, valid_ds = build_datasets(cfg)
     spe = steps_per_epoch or cfg.steps_per_epoch or max(1, len(train_ds) // cfg.batch_size)
 
+    trainer = Trainer(cfg, steps_per_epoch=spe, mesh=mesh)
+    train_adapter = DegradationAdapter(cfg, seed=cfg.seed, train=True)
+    valid_adapter = DegradationAdapter(cfg, seed=cfg.seed + 1, train=True)
+
+    lr_size = cfg.gt_image_size // cfg.upscale_factor
+    state = trainer.init_state(
+        jax.random.PRNGKey(cfg.seed),
+        (cfg.batch_size, lr_size, lr_size, 3),
+        (cfg.batch_size, cfg.gt_image_size, cfg.gt_image_size, 3),
+    )
+    start_epoch = 0
+    start_step = 0
+    resume_best: dict = {}
+    if resume:
+        # full-state resume: params/EMA/optimizer/step/epoch/best metrics
+        # (reference load_mode="resume", ESRGAN/utils.py:41-67)
+        payload = ckpt.load_checkpoint(resume, template=state)
+        state = jax.tree_util.tree_map(jnp.asarray, payload["state"])
+        resume_best = dict(payload.get("best_metrics") or {})
+        if "step" in payload:
+            # step-exact resume (mid-epoch/preempt snapshots record the
+            # steps APPLIED to the state): restart inside the epoch —
+            # the sought loader + step-keyed degradation RNG make the
+            # continuation bit-identical to the uninterrupted run
+            start_step = int(payload["step"])
+            start_epoch = start_step // spe
+            print(f"resumed from {resume} at step {start_step} (epoch {start_epoch})")
+        else:
+            start_epoch = int(payload["epoch"]) + 1
+            start_step = start_epoch * spe
+            print(f"resumed from {resume} at epoch {start_epoch}")
+
+    # Loaders are built AFTER resume so the data stream can be sought to
+    # the resume position: batches (and the step-keyed degradation plans)
+    # are pure functions of (seed, batch id), so a resumed run consumes
+    # exactly the samples the uninterrupted run would have — the reference
+    # restarts its DataLoader epoch from scratch instead
+    # (BSRGAN/train_bsrgan.py:86-101 resume sets start_epoch only).
+    start_batch = start_step
     train_loader = None
     if cfg.degradation in ("bicubic", "bsrgan") and os.environ.get("SRGANFD_NATIVE_LOADER", "1") != "0":
         # GT-crop pipelines can use the C++ decode/augment loader
@@ -212,30 +249,18 @@ def _run_train_body(
                 # the fused degradation programs fold /255 on-device: ship
                 # raw bytes (4x less host->device traffic)
                 uint8=cfg.degradation in ("bsrgan", "bicubic"),
+                start_batch=start_batch,
             )
             print("using native C++ data loader")
     if train_loader is None:
         train_loader = BatchLoader(
-            train_ds, cfg.batch_size, shuffle=True, seed=cfg.seed, num_workers=cfg.num_workers
+            train_ds,
+            cfg.batch_size,
+            shuffle=True,
+            seed=cfg.seed,
+            num_workers=cfg.num_workers,
+            start_batch=start_batch,
         )
-    trainer = Trainer(cfg, steps_per_epoch=spe, mesh=mesh)
-    train_adapter = DegradationAdapter(cfg, seed=cfg.seed, train=True)
-    valid_adapter = DegradationAdapter(cfg, seed=cfg.seed + 1, train=True)
-
-    lr_size = cfg.gt_image_size // cfg.upscale_factor
-    state = trainer.init_state(
-        jax.random.PRNGKey(cfg.seed),
-        (cfg.batch_size, lr_size, lr_size, 3),
-        (cfg.batch_size, cfg.gt_image_size, cfg.gt_image_size, 3),
-    )
-    start_epoch = 0
-    if resume:
-        # full-state resume: params/EMA/optimizer/step/epoch/best metrics
-        # (reference load_mode="resume", ESRGAN/utils.py:41-67)
-        payload = ckpt.load_checkpoint(resume, template=state)
-        state = jax.tree_util.tree_map(jnp.asarray, payload["state"])
-        start_epoch = int(payload["epoch"]) + 1
-        print(f"resumed from {resume} at epoch {start_epoch}")
 
     # data-parallel placement: replicate state, shard batches over the
     # mesh's data axis (multi-host: each process contributes its per-host
@@ -332,6 +357,10 @@ def _run_train_body(
         lpips_fn = jax.jit(lpips_metric.__call__)
 
     best = {"psnr": -1.0, "ssim": -1.0, "lpips": float("inf")}
+    # carry best-so-far across resume so ckpt_best can't regress to a
+    # worse post-resume epoch (the reference reloads best_psnr the same
+    # way, ESRGAN/utils.py:44 via load_state_dict resume)
+    best.update({k: float(v) for k, v in resume_best.items() if k in best})
     batch_time = AverageMeter("Time", ":6.3f")
     data_time = AverageMeter("Data", ":6.3f")
     g_loss_m = AverageMeter("G loss", ":6.4f")
@@ -342,7 +371,11 @@ def _run_train_body(
         if not _PREEMPT["signum"]:
             return
         if is_main:
-            ckpt.save_checkpoint(ckpt_dir, state, epoch, best, is_best=False, name="ckpt_preempt")
+            # steps applied to the state = consumed minus still-buffered
+            # (k-step dispatch); resume redraws the buffered ones exactly
+            buffered = len(plain_buf) + sum(len(b) for b in fuse_buffers.values())
+            ckpt.save_checkpoint(ckpt_dir, state, epoch, best, is_best=False,
+                                 name="ckpt_preempt", step=global_step - buffered)
             print("preemption checkpoint written; exiting", flush=True)
         raise SystemExit(128 + _PREEMPT["signum"])
 
@@ -352,7 +385,7 @@ def _run_train_body(
     _install_preempt_handler(reset=False)
 
     it = iter(train_loader)
-    global_step = start_epoch * spe
+    global_step = start_step
     epoch = start_epoch
     metrics: dict = {}
     last_metrics: dict = {}
@@ -363,21 +396,24 @@ def _run_train_body(
             jax.profiler.start_trace(profile_dir)
         progress = ProgressMeter(spe, [batch_time, data_time, g_loss_m], prefix=f"Epoch[{epoch}]")
         end = time.time()
-        for i in range(spe):
+        # step-exact resume lands mid-epoch: skip the already-applied slots
+        first_slot = start_step - epoch * spe if epoch == start_epoch else 0
+        for i in range(max(first_slot, 0), spe):
             _preempt_exit_if_requested()
             host_batch = next(it)
             if fuse_step:
                 n = int(np.shape(host_batch["gt"])[0])
+                step_rng = train_adapter.step_rng(global_step)
                 plan = plan_bsrgan_batch(
-                    train_adapter.rng, n, cfg.upscale_factor,
+                    step_rng, n, cfg.upscale_factor,
                     jpeg_prob=cfg.degradation_params.get("jpeg_prob", 0.9),
                     scale2_prob=cfg.degradation_params.get("scale2_prob", 0.25),
                     per_sample_order=True,
                 )
                 lr_edge = bsrgan_lr_size(int(np.shape(host_batch["gt"])[1]), plan)
                 lim = lr_edge - cfg.gt_image_size // cfg.upscale_factor
-                tops = train_adapter.rng.integers(0, lim + 1, n)
-                lefts = train_adapter.rng.integers(0, lim + 1, n)
+                tops = step_rng.integers(0, lim + 1, n)
+                lefts = step_rng.integers(0, lim + 1, n)
                 data_time.update(time.time() - end)
                 if superstep == 1:
                     gt_raw = to_global({"gt": host_batch["gt"]})["gt"]
@@ -430,7 +466,9 @@ def _run_train_body(
                 metrics = {}
             end = time.time()
             if is_main and save_every_steps and global_step and global_step % save_every_steps == 0:
-                ckpt.save_checkpoint(ckpt_dir, state, epoch, best, is_best=False, name="ckpt_step")
+                buffered = len(plain_buf) + sum(len(b) for b in fuse_buffers.values())
+                ckpt.save_checkpoint(ckpt_dir, state, epoch, best, is_best=False,
+                                     name="ckpt_step", step=global_step + 1 - buffered)
             global_step += 1
         # flush buffered K-step groups before validating (keeps per-epoch
         # step counts exact; leftovers run as single dispatches)
@@ -494,7 +532,7 @@ def _run_train_body(
         best["ssim"] = max(best["ssim"], ssim)
         best["lpips"] = min(best["lpips"], vm["lpips"])
         if is_main:
-            ckpt.save_checkpoint(ckpt_dir, state, epoch, best, is_best)
+            ckpt.save_checkpoint(ckpt_dir, state, epoch, best, is_best, step=(epoch + 1) * spe)
             # model artifacts under the reference's names (the orbax snapshot
             # holds g + ema_g + d together; the reference logs three torch
             # models — BSRGAN/train_bsrgan.py:201-214)

@@ -212,7 +212,13 @@ class BatchLoader:
         prefetch_batches: int = 4,
         loop: bool = True,
         collate_fn: Callable[[list[dict]], dict] | None = None,
+        start_batch: int = 0,
     ) -> None:
+        """``start_batch`` seeks the deterministic stream: the iterator
+        emits batch ``start_batch`` first, byte-identical to what an
+        un-seeked loader would have yielded at that position (index order
+        and per-record RNG are both pure functions of (seed, batch_no)) —
+        an O(1) skip with no decoding, for exact mid-run resume."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -222,6 +228,7 @@ class BatchLoader:
         self.prefetch_batches = prefetch_batches
         self.loop = loop
         self.collate_fn = collate_fn or self._default_collate
+        self.start_batch = int(start_batch)
 
     @staticmethod
     def _default_collate(records: list[dict]) -> dict:
@@ -233,17 +240,20 @@ class BatchLoader:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _index_stream(self) -> Iterator[list[int]]:
-        epoch = 0
         n = len(self.dataset)
+        bpp = len(self)  # batches per dataset pass
+        # O(1) seek: batch k lives at (pass k // bpp, slot k % bpp); only
+        # the target pass's permutation is materialized
+        epoch = self.start_batch // bpp if bpp else 0
+        slot = self.start_batch % bpp if bpp else 0
         while True:
             order = np.arange(n)
             if self.shuffle:
                 np.random.default_rng(self.seed + epoch).shuffle(order)
-            for start in range(0, n, self.batch_size):
-                idx = order[start : start + self.batch_size]
-                if len(idx) < self.batch_size and self.drop_last:
-                    break
+            for bi in range(slot, bpp):
+                idx = order[bi * self.batch_size : (bi + 1) * self.batch_size]
                 yield list(idx)
+            slot = 0
             if not self.loop:
                 return
             epoch += 1
@@ -252,7 +262,7 @@ class BatchLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch_batches)
         stop = threading.Event()
         pool = concurrent.futures.ThreadPoolExecutor(max_workers=self.num_workers)
-        counter = iter(range(1 << 62))
+        counter = iter(range(self.start_batch, 1 << 62))
 
         def fetch(batch_idx: list[int], batch_no: int) -> dict:
             records = []

@@ -38,8 +38,8 @@ def _rebuild() -> bool:
 def _bind(lib) -> None:
     """Declare the ctypes signatures. Raises AttributeError on a stale .so
     that predates a required symbol (handled by _load with a rebuild)."""
-    lib.loader_create2.restype = ctypes.c_void_p
-    lib.loader_create2.argtypes = [
+    lib.loader_create3.restype = ctypes.c_void_p
+    lib.loader_create3.argtypes = [
         ctypes.POINTER(ctypes.c_char_p),
         ctypes.c_int,
         ctypes.c_int,
@@ -48,6 +48,7 @@ def _bind(lib) -> None:
         ctypes.c_int,
         ctypes.c_int,
         ctypes.c_int,
+        ctypes.c_uint64,
     ]
     lib.loader_next.restype = ctypes.c_int
     lib.loader_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
@@ -115,10 +116,16 @@ class NativeBatchLoader:
         num_threads: int = 4,
         train: bool = True,
         uint8: bool = False,
+        start_batch: int = 0,
     ) -> None:
         """``uint8=True`` yields raw byte batches (the /255 then happens
         on-device inside the degradation program) — 4x less host->device
-        transfer, which matters through remote-execution tunnels."""
+        transfer, which matters through remote-execution tunnels.
+
+        ``start_batch`` seeks the deterministic stream (batches are a pure
+        function of (seed, batch id), emitted in id order): the first
+        ``__iter__`` yield is exactly batch ``start_batch`` — an O(1) skip
+        for exact mid-run resume."""
         lib = _load()
         if lib is None:
             raise RuntimeError("native loader unavailable (build native/build.sh)")
@@ -129,9 +136,9 @@ class NativeBatchLoader:
         arr = (ctypes.c_char_p * len(image_paths))(
             *[p.encode() for p in image_paths]
         )
-        self._handle = lib.loader_create2(
+        self._handle = lib.loader_create3(
             arr, len(image_paths), crop, batch_size, seed, num_threads, int(train),
-            int(uint8),
+            int(uint8), int(start_batch),
         )
         dtype = np.uint8 if uint8 else np.float32
         self._buf = np.empty((batch_size, crop, crop, 3), dtype)

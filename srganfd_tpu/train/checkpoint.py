@@ -33,6 +33,7 @@ def save_checkpoint(
     best_metrics: dict[str, float],
     is_best: bool,
     name: str = "ckpt",
+    step: int | None = None,
 ) -> None:
     """Write ``<dir>/<name>_last`` (always) and ``<dir>/<name>_best``
     (when ``is_best``), each a full training-state snapshot.
@@ -54,7 +55,14 @@ def save_checkpoint(
         targets.append(os.path.join(directory, f"{name}_best"))
     # scalar metadata rides a JSON sidecar: keeps the orbax tree identical
     # to the state template regardless of which metrics a config tracks
+    # ``step`` = global steps APPLIED to the saved state (k-step buffering
+    # can hold consumed-but-undispatched batches; the deterministic loader
+    # + step-keyed degradation RNG redraw those exactly on resume), so a
+    # resumed run is step-exact, not epoch-granular like the reference
+    # (ESRGAN/utils.py:41-67 restores start_epoch only).
     meta = {"epoch": int(epoch), "best_metrics": {k: float(v) for k, v in best_metrics.items()}}
+    if step is not None:
+        meta["step"] = int(step)
     for t in targets:
         staging = os.path.abspath(t) + ".new"
         ckptr.save(staging, payload, force=True)

@@ -143,3 +143,70 @@ def test_run_train_sigterm_preemption(data_dirs, tmp_path, monkeypatch):
     ckpt_dir = tmp_path / "results" / "train_RRDBNet_x4"
     assert (ckpt_dir / "ckpt_preempt_last").exists()
     assert (ckpt_dir / "ckpt_preempt_last.meta.json").exists()
+
+
+def test_step_exact_resume_matches_uninterrupted(data_dirs, tmp_path, monkeypatch):
+    """Crash right after a mid-epoch snapshot, resume from it: the final
+    params must be BIT-IDENTICAL to the uninterrupted run. This is the
+    whole deterministic-data-order contract end-to-end — seekable loader
+    (start_batch), step-keyed degradation RNG, and applied-steps metadata
+    (the reference resumes at epoch granularity only, ESRGAN/utils.py:41-67)."""
+    import jax
+
+    from srganfd_tpu.cli import train as train_mod
+
+    train_dir, valid_dir = data_dirs
+    monkeypatch.setenv("SRGANFD_NATIVE_LOADER", "0")
+
+    def cfg():
+        # bsrnet: pixel-only but with the full BSRGAN degradation chain,
+        # so the step-keyed host RNG is actually load-bearing
+        return get_config(
+            "bsrnet",
+            train_gt_images_dir=train_dir,
+            valid_gt_images_dir=valid_dir,
+            epochs=1,
+            batch_size=2,
+            crop_image_size=64,
+            gt_image_size=32,
+            compute_dtype="float32",
+            g_kwargs={"channels": 8, "growth_channels": 4, "num_rrdb": 1},
+        )
+
+    def leaves(state):
+        return jax.tree_util.tree_leaves(
+            {"g": state.g_params, "ema": state.ema_g_params}
+        )
+
+    a_dir = tmp_path / "a"
+    a_dir.mkdir()
+    monkeypatch.chdir(a_dir)
+    want = leaves(run_train(cfg(), steps_per_epoch=6)["state"])
+
+    b_dir = tmp_path / "b"
+    b_dir.mkdir()
+    monkeypatch.chdir(b_dir)
+    real_save = train_mod.ckpt.save_checkpoint
+
+    def crash_after_step_snapshot(*args, **kwargs):
+        real_save(*args, **kwargs)
+        if kwargs.get("name") == "ckpt_step":
+            raise KeyboardInterrupt  # hard crash, snapshot already on disk
+
+    monkeypatch.setattr(train_mod.ckpt, "save_checkpoint", crash_after_step_snapshot)
+    with pytest.raises(KeyboardInterrupt):
+        run_train(cfg(), steps_per_epoch=6, save_every_steps=2)
+    monkeypatch.setattr(train_mod.ckpt, "save_checkpoint", real_save)
+
+    snap = b_dir / "results" / "BSRNet_x2" / "ckpt_step_last"
+    assert snap.exists()
+    import json
+
+    meta = json.loads((snap.parent / "ckpt_step_last.meta.json").read_text())
+    assert meta["step"] == 3  # crash at global_step=2 => steps 0..2 applied
+
+    got = leaves(
+        run_train(cfg(), steps_per_epoch=6, resume=str(snap))["state"]
+    )
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g))

@@ -57,6 +57,42 @@ def test_batch_loader_single_pass(image_dir):
     assert len(batches) == 3
 
 
+def test_batch_loader_start_batch_seeks(image_dir):
+    """start_batch=k yields byte-identical batches to consuming k first —
+    the O(1) data-order resume contract (index order and per-record RNG
+    are pure functions of (seed, batch id))."""
+    ds = TrainValidImageDataset(image_dir, gt_image_size=32, mode="Train")
+    # 6 images / batch 4 => seek crosses an epoch-permutation boundary
+    full_it = iter(BatchLoader(ds, batch_size=4, seed=3, num_workers=2))
+    full = [next(full_it)["gt"] for _ in range(5)]
+    sought_it = iter(BatchLoader(ds, batch_size=4, seed=3, num_workers=2, start_batch=3))
+    for want in full[3:]:
+        np.testing.assert_array_equal(want, next(sought_it)["gt"])
+
+
+def test_degradation_adapter_step_keyed_rng():
+    """Adapter randomness is keyed by (seed, host, step): two adapters (a
+    crashed run and its resume) produce identical plans at the same step,
+    and different plans at different steps."""
+    from srganfd_tpu.cli.degrade_adapter import DegradationAdapter
+    from srganfd_tpu.configs import get_config
+
+    cfg = get_config("bsrgan").replace(crop_image_size=96, gt_image_size=48)
+    a = DegradationAdapter(cfg, seed=11)
+    b = DegradationAdapter(cfg, seed=11)
+    assert a.step_rng(5).integers(0, 1 << 30, 8).tolist() == b.step_rng(
+        5
+    ).integers(0, 1 << 30, 8).tolist()
+    assert a.step_rng(5).integers(0, 1 << 30, 8).tolist() != a.step_rng(
+        6
+    ).integers(0, 1 << 30, 8).tolist()
+    gt = np.random.default_rng(0).uniform(0, 1, (2, 96, 96, 3)).astype(np.float32)
+    out1 = a(dict(gt=gt), 7)
+    out2 = b(dict(gt=gt), 7)
+    np.testing.assert_array_equal(np.asarray(out1["lr"]), np.asarray(out2["lr"]))
+    np.testing.assert_array_equal(np.asarray(out1["gt"]), np.asarray(out2["gt"]))
+
+
 def test_degenerated_dataset_kernels(image_dir):
     from srganfd_tpu.configs.realesrgan import degradation_model_parameters_dict as dm
 

@@ -113,7 +113,7 @@ def test_legacy_loader_create_delegates(image_dir, lib_available):
 
     lib = native_loader._load()
     lib.loader_create.restype = ctypes.c_void_p
-    lib.loader_create.argtypes = native_loader._lib.loader_create2.argtypes[:-1]
+    lib.loader_create.argtypes = native_loader._lib.loader_create3.argtypes[:-2]
     paths = sorted(
         os.path.join(image_dir, f) for f in os.listdir(image_dir) if f.endswith(".png")
     )
@@ -126,6 +126,37 @@ def test_legacy_loader_create_delegates(image_dir, lib_available):
     lib.loader_destroy(handle)
     # nullptr handle is a clean miss, not a segfault
     assert lib.loader_next(None, buf.ctypes.data_as(ctypes.c_void_p)) == 0
+
+
+def _collect(paths, n, **kw):
+    ld = native_loader.NativeBatchLoader(paths, crop=32, batch_size=2, **kw)
+    it = iter(ld)
+    out = [next(it)["gt"].copy() for _ in range(n)]
+    ld.close()
+    return out
+
+
+def test_emission_order_is_thread_count_invariant(image_dir, lib_available):
+    """Batches must come out in batch-id order regardless of how many
+    workers race: the stream is a pure function of (seed, start batch)."""
+    paths = sorted(
+        os.path.join(image_dir, f) for f in os.listdir(image_dir) if f.endswith(".png")
+    )
+    a = _collect(paths, 6, seed=5, num_threads=1)
+    b = _collect(paths, 6, seed=5, num_threads=4)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_start_batch_seeks_the_stream(image_dir, lib_available):
+    """start_batch=k must yield byte-identical batches to skipping k."""
+    paths = sorted(
+        os.path.join(image_dir, f) for f in os.listdir(image_dir) if f.endswith(".png")
+    )
+    full = _collect(paths, 6, seed=9, num_threads=3)
+    sought = _collect(paths, 3, seed=9, num_threads=3, start_batch=3)
+    for x, y in zip(full[3:], sought):
+        np.testing.assert_array_equal(x, y)
 
 
 def test_fused_crop_uint8_matches_float():

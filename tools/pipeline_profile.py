@@ -102,14 +102,15 @@ def main() -> None:
             from srganfd_tpu.ops.degrade import bsrgan_lr_size, plan_bsrgan_batch
 
             bsz = int(len(host_batch["gt"]))  # NOT `n` — that's the step counter
+            step_rng = adapter.step_rng(n)
             plan = plan_bsrgan_batch(
-                adapter.rng, bsz, cfg.upscale_factor, per_sample_order=True
+                step_rng, bsz, cfg.upscale_factor, per_sample_order=True
             )
             lim = bsrgan_lr_size(int(host_batch["gt"].shape[1]), plan) - (
                 cfg.gt_image_size // cfg.upscale_factor
             )
-            tops = adapter.rng.integers(0, lim + 1, bsz)
-            lefts = adapter.rng.integers(0, lim + 1, bsz)
+            tops = step_rng.integers(0, lim + 1, bsz)
+            lefts = step_rng.integers(0, lim + 1, bsz)
             t2 = time.perf_counter()
             if args.steps_per_dispatch > 1:
                 skey = (plan.scale2, plan.scale2_interp, plan.effective_upscale)
