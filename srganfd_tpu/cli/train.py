@@ -141,6 +141,7 @@ def run_train(
     resume: str = "",
     profile_dir: str = "",
     save_every_steps: int = 0,
+    async_ckpt: bool = False,
 ) -> dict:
     """Train per the config. ``save_every_steps`` adds mid-epoch snapshots
     (preemption recovery beyond the reference's per-epoch checkpoints).
@@ -168,6 +169,7 @@ def run_train(
             resume=resume,
             profile_dir=profile_dir,
             save_every_steps=save_every_steps,
+            async_ckpt=async_ckpt,
         )
     finally:
         _restore_sigterm(prev_sigterm)
@@ -180,6 +182,7 @@ def _run_train_body(
     resume: str = "",
     profile_dir: str = "",
     save_every_steps: int = 0,
+    async_ckpt: bool = False,
 ) -> dict:
     from srganfd_tpu.parallel.mesh import maybe_init_distributed
 
@@ -367,6 +370,18 @@ def _run_train_body(
 
     ckpt_dir = f"{cfg.results_dir}/{cfg.exp_name or cfg.name}"
 
+    # --async-ckpt: Orbax writes + swaps happen on a writer thread; the
+    # step loop only pays the device->host copy. save_snapshot resolves
+    # ckpt.save_checkpoint at call time so the sync path stays patchable.
+    writer = ckpt.AsyncCheckpointWriter() if (async_ckpt and is_main) else None
+
+    def save_snapshot(*a, **kw):
+        (writer.save if writer is not None else ckpt.save_checkpoint)(*a, **kw)
+
+    def flush_snapshots():
+        if writer is not None:
+            writer.wait()
+
     def _preempt_exit_if_requested():
         if not _PREEMPT["signum"]:
             return
@@ -374,8 +389,9 @@ def _run_train_body(
             # steps applied to the state = consumed minus still-buffered
             # (k-step dispatch); resume redraws the buffered ones exactly
             buffered = len(plain_buf) + sum(len(b) for b in fuse_buffers.values())
-            ckpt.save_checkpoint(ckpt_dir, state, epoch, best, is_best=False,
-                                 name="ckpt_preempt", step=global_step - buffered)
+            save_snapshot(ckpt_dir, state, epoch, best, is_best=False,
+                          name="ckpt_preempt", step=global_step - buffered)
+            flush_snapshots()  # about to exit: the snapshot must be on disk
             print("preemption checkpoint written; exiting", flush=True)
         raise SystemExit(128 + _PREEMPT["signum"])
 
@@ -467,7 +483,7 @@ def _run_train_body(
             end = time.time()
             if is_main and save_every_steps and global_step and global_step % save_every_steps == 0:
                 buffered = len(plain_buf) + sum(len(b) for b in fuse_buffers.values())
-                ckpt.save_checkpoint(ckpt_dir, state, epoch, best, is_best=False,
+                save_snapshot(ckpt_dir, state, epoch, best, is_best=False,
                                      name="ckpt_step", step=global_step + 1 - buffered)
             global_step += 1
         # flush buffered K-step groups before validating (keeps per-epoch
@@ -532,7 +548,9 @@ def _run_train_body(
         best["ssim"] = max(best["ssim"], ssim)
         best["lpips"] = min(best["lpips"], vm["lpips"])
         if is_main:
-            ckpt.save_checkpoint(ckpt_dir, state, epoch, best, is_best, step=(epoch + 1) * spe)
+            save_snapshot(ckpt_dir, state, epoch, best, is_best, step=(epoch + 1) * spe)
+            # artifact logging reads the snapshot dirs right below
+            flush_snapshots()
             # model artifacts under the reference's names (the orbax snapshot
             # holds g + ema_g + d together; the reference logs three torch
             # models — BSRGAN/train_bsrgan.py:201-214)
@@ -540,6 +558,11 @@ def _run_train_body(
                 tracker.log_artifact_dir(os.path.join(ckpt_dir, "ckpt_best"), "best_g_model")
             tracker.log_artifact_dir(os.path.join(ckpt_dir, "ckpt_last"), "last_g_model")
         _preempt_exit_if_requested()
+    if writer is not None:
+        # drain + surface any writer error; on exception/crash paths the
+        # daemon thread may die mid-swap — _sweep_incomplete recovers the
+        # newest complete snapshot on the next save/resume
+        writer.close()
     tracker.close()
     return {"best_psnr": best["psnr"], "best_ssim": best["ssim"], "state": state}
 
@@ -556,6 +579,11 @@ def main() -> None:
     ap.add_argument("--resume", default="", help="checkpoint dir to resume full state from")
     ap.add_argument("--profile-dir", default="", help="capture a jax.profiler trace of epoch 0")
     ap.add_argument("--save-every-steps", type=int, default=0, help="mid-epoch snapshot cadence")
+    ap.add_argument(
+        "--async-ckpt",
+        action="store_true",
+        help="write snapshots on a background thread (step loop pays only the device->host copy)",
+    )
     ap.add_argument("--d-arch", default=None, help="override discriminator arch (e.g. discriminator_attention_unet_ms)")
     ap.add_argument("--gt-size", type=int, default=None, help="override gt_image_size (and disable pre-crop)")
     ap.add_argument(
@@ -597,6 +625,7 @@ def main() -> None:
         resume=args.resume,
         profile_dir=args.profile_dir,
         save_every_steps=args.save_every_steps,
+        async_ckpt=args.async_ckpt,
     )
 
 

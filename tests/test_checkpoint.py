@@ -129,3 +129,57 @@ def test_sweep_recovers_mid_swap_states(trained_state, tmp_path):
     ckpt._sweep_incomplete(d)
     assert ckpt.load_checkpoint(last, template=state)["epoch"] == 9
     assert not os.path.exists(last + ".new.meta.json")
+
+
+def test_async_writer_matches_sync(trained_state, tmp_path):
+    """AsyncCheckpointWriter writes bit-identical snapshots through the
+    same staging/swap protocol, and save() captures the state at call
+    time (later mutation of the live state must not leak into a queued
+    write)."""
+    tr, state = trained_state
+    sync_dir, async_dir = tmp_path / "sync", tmp_path / "async"
+    ckpt.save_checkpoint(str(sync_dir), state, epoch=2, best_metrics={"psnr": 30.0}, is_best=True)
+    with ckpt.AsyncCheckpointWriter() as w:
+        w.save(str(async_dir), state, epoch=2, best_metrics={"psnr": 30.0}, is_best=True)
+        w.wait()
+        for name in ("ckpt_best", "ckpt_last"):
+            a = ckpt.load_checkpoint(str(sync_dir / name), template=state)
+            b = ckpt.load_checkpoint(str(async_dir / name), template=state)
+            assert a["epoch"] == b["epoch"] == 2
+            for x, y in zip(
+                jax.tree_util.tree_leaves(a["state"]), jax.tree_util.tree_leaves(b["state"])
+            ):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+        # snapshot-at-call-time: queue a save, then train the live state on
+        g1 = jax.tree_util.tree_leaves(state.g_params)
+        w.save(str(async_dir), state, epoch=3, best_metrics={}, is_best=False)
+        gt = jnp.asarray(np.random.default_rng(1).uniform(size=(1, 16, 16, 3)).astype(np.float32))
+        tr.train_step(state, gt, gt[:, ::4, ::4, :])
+        w.wait()
+        b = ckpt.load_checkpoint(str(async_dir / "ckpt_last"), template=state)
+        assert b["epoch"] == 3
+        for x, y in zip(jax.tree_util.tree_leaves(b["state"].g_params), g1):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_async_writer_last_save_wins_and_errors_surface(trained_state, tmp_path):
+    """Queued saves to the same target land in order (the final on-disk
+    snapshot is the last queued), and a failed write re-raises on wait()
+    instead of vanishing on the worker thread."""
+    tr, state = trained_state
+    d = tmp_path / "ordered"
+    with ckpt.AsyncCheckpointWriter() as w:
+        for e in range(3):
+            w.save(str(d), state, epoch=e, best_metrics={}, is_best=False, step=e * 10)
+        w.wait()
+        meta = ckpt.load_checkpoint(str(d / "ckpt_last"), template=state)
+        assert meta["epoch"] == 2 and meta["step"] == 20
+
+    w = ckpt.AsyncCheckpointWriter()
+    blocker = tmp_path / "blocked"
+    blocker.write_text("not a directory")  # makedirs will fail
+    w.save(str(blocker / "sub"), state, epoch=0, best_metrics={}, is_best=False)
+    with pytest.raises(RuntimeError, match="async checkpoint write failed"):
+        w.wait()
+    w.close()  # error already consumed; close is clean

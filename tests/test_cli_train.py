@@ -210,3 +210,39 @@ def test_step_exact_resume_matches_uninterrupted(data_dirs, tmp_path, monkeypatc
     )
     for w, g in zip(want, got):
         np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+
+
+def test_run_train_async_ckpt(data_dirs, tmp_path, monkeypatch):
+    """--async-ckpt trains end-to-end: background-written snapshots are
+    complete (flushed at preempt/epoch/exit boundaries), carry step meta,
+    and resume-load cleanly."""
+    import jax
+
+    from srganfd_tpu.train import checkpoint as ckpt_mod
+
+    train_dir, valid_dir = data_dirs
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("SRGANFD_NATIVE_LOADER", "0")
+    cfg = get_config(
+        "rrdbnet",
+        train_gt_images_dir=train_dir,
+        valid_gt_images_dir=valid_dir,
+        epochs=1,
+        batch_size=2,
+        gt_image_size=32,
+        compute_dtype="float32",
+        g_kwargs={"channels": 8, "growth_channels": 4, "num_blocks": 1},
+    )
+    out = run_train(cfg, steps_per_epoch=4, save_every_steps=2, async_ckpt=True)
+    ckpt_dir = tmp_path / "results" / "train_RRDBNet_x4"
+    for name in ("ckpt_step_last", "ckpt_last", "ckpt_best"):
+        assert (ckpt_dir / name).exists(), name
+    import json
+
+    assert json.loads((ckpt_dir / "ckpt_last.meta.json").read_text())["step"] == 4
+    payload = ckpt_mod.load_checkpoint(str(ckpt_dir / "ckpt_last"), template=out["state"])
+    for a, b in zip(
+        jax.tree_util.tree_leaves(payload["state"].g_params),
+        jax.tree_util.tree_leaves(out["state"].g_params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
