@@ -103,7 +103,7 @@ def build_datasets(cfg):
 
 def validate(
     cfg, trainer, params, valid_loader, adapter, lpips_fn=None, max_batches: int = 16,
-    should_stop=None,
+    should_stop=None, mesh=None,
 ):
     """Per-epoch validation: SR the degraded valid crops; Y-channel
     PSNR/SSIM with crop_border = upscale_factor, plus LPIPS when a metric
@@ -119,8 +119,19 @@ def validate(
         if i >= max_batches or (should_stop is not None and should_stop()):
             break
         batch = adapter(host_batch, i)
-        sr = trainer.eval_sr(params, batch["lr"])
-        gt = batch["gt"]
+        lr, gt = batch["lr"], batch["gt"]
+        if mesh is not None and jax.process_count() == 1:
+            # shard the eval batch over the data axis: on a multi-chip
+            # mesh the per-epoch validation pass otherwise computes on
+            # one device while the rest idle (the train step is already
+            # dp-sharded). Metrics are per-image, so sharded == unsharded.
+            ndata = mesh.shape.get("data", 1)
+            if ndata > 1 and int(lr.shape[0]) % ndata == 0:
+                from srganfd_tpu.parallel import shard_batch
+
+                sharded = shard_batch({"lr": lr, "gt": gt}, mesh)
+                lr, gt = sharded["lr"], sharded["gt"]
+        sr = trainer.eval_sr(params, lr)
         if sr.shape != gt.shape:  # bsrgan eval path keeps full-size gt
             continue
         psnrs.extend(np.asarray(psnr_tensor(sr, gt, cfg.upscale_factor, cfg.only_test_y_channel)))
@@ -521,7 +532,7 @@ def _run_train_body(
         # train_bsrgan.py:166); the EMA model is checkpointed alongside
         vm = validate(
             cfg, trainer, state.g_params, valid_loader, valid_adapter, lpips_fn=lpips_fn,
-            should_stop=lambda: bool(_PREEMPT["signum"]),
+            should_stop=lambda: bool(_PREEMPT["signum"]), mesh=mesh if dp else None,
         )
         if _PREEMPT["signum"]:
             _preempt_exit_if_requested()

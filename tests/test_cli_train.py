@@ -246,3 +246,46 @@ def test_run_train_async_ckpt(data_dirs, tmp_path, monkeypatch):
         jax.tree_util.tree_leaves(out["state"].g_params),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_validate_shards_over_mesh(data_dirs):
+    """validate() with a data mesh shards the eval batch over the data
+    axis and returns metrics identical to the unsharded pass (per-image
+    metrics are sharding-invariant; on real multi-chip hardware this
+    parallelizes the per-epoch validation the train step already is)."""
+    import jax
+
+    from srganfd_tpu.cli import train as train_mod
+    from srganfd_tpu.data.datasets import BatchLoader
+    from srganfd_tpu.cli.degrade_adapter import DegradationAdapter
+    from srganfd_tpu.parallel import make_mesh, replicated_sharding
+    from srganfd_tpu.train.loop import Trainer
+
+    train_dir, _ = data_dirs
+    cfg = get_config(
+        "rrdbnet",
+        train_gt_images_dir=train_dir,
+        valid_gt_images_dir=train_dir,  # 4 images -> one batch of 4
+        batch_size=4,
+        gt_image_size=32,
+        compute_dtype="float32",
+        g_kwargs={"channels": 8, "growth_channels": 4, "num_blocks": 1},
+    )
+    _, valid_ds = train_mod.build_datasets(cfg)
+    trainer = Trainer(cfg, steps_per_epoch=1)
+    state = trainer.init_state(jax.random.PRNGKey(0), (4, 8, 8, 3), (4, 32, 32, 3))
+    adapter = DegradationAdapter(cfg, seed=1, train=True)
+
+    def loader():
+        return BatchLoader(valid_ds, 4, shuffle=False, loop=False, seed=0, drop_last=True)
+
+    plain = train_mod.validate(cfg, trainer, state.g_params, loader(), adapter)
+
+    mesh = make_mesh((4,), ("data",), devices=jax.devices()[:4])
+    rep_params = jax.device_put(state.g_params, replicated_sharding(mesh))
+    sharded = train_mod.validate(
+        cfg, trainer, rep_params, loader(), adapter, mesh=mesh
+    )
+    assert plain["psnr"] > 0
+    np.testing.assert_allclose(sharded["psnr"], plain["psnr"], rtol=1e-6)
+    np.testing.assert_allclose(sharded["ssim"], plain["ssim"], rtol=1e-6)
