@@ -591,6 +591,12 @@ def main() -> None:
     ap.add_argument("--profile-dir", default="", help="capture a jax.profiler trace of epoch 0")
     ap.add_argument("--save-every-steps", type=int, default=0, help="mid-epoch snapshot cadence")
     ap.add_argument(
+        "--grad-accum",
+        type=int,
+        default=None,
+        help="accumulate gradients over N chunks of the batch before each optimizer step",
+    )
+    ap.add_argument(
         "--async-ckpt",
         action="store_true",
         help="write snapshots on a background thread (step loop pays only the device->host copy)",
@@ -623,6 +629,8 @@ def main() -> None:
     if args.gt_size:
         overrides["gt_image_size"] = args.gt_size
         overrides["crop_image_size"] = 0
+    if args.grad_accum:
+        overrides["grad_accum_steps"] = args.grad_accum
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
     cfg = configs.get_config(args.config, **overrides)
