@@ -48,12 +48,16 @@ class DegradationAdapter:
         self._bicubic_pair = _bicubic_pair
 
     def step_rng(self, step: int) -> np.random.Generator:
-        """Degradation randomness is keyed by (seed, host, step) — the
-        numpy analog of ``jax.random.fold_in``. Stateless: resuming a run
-        at step N redraws exactly the plans the uninterrupted run would
-        have drawn, with no host-side replay (a sequential generator would
-        need its whole draw history re-executed)."""
-        return np.random.default_rng((self.seed, jax.process_index(), step))
+        """Degradation randomness is keyed by (seed, tag, host, step) —
+        the numpy analog of ``jax.random.fold_in``. Stateless: resuming a
+        run at step N redraws exactly the plans the uninterrupted run
+        would have drawn, with no host-side replay (a sequential generator
+        would need its whole draw history re-executed). The constant tag
+        makes the entropy tuple disjoint from BatchLoader's per-record
+        (seed, batch_no, j) keying — without it, host 0's step-s plan
+        stream would be bit-identical to batch 0's record-s augmentation
+        stream (same SeedSequence entropy)."""
+        return np.random.default_rng((self.seed, 0xDE64ADE, jax.process_index(), step))
 
     def __call__(self, host_batch: dict[str, np.ndarray], step: int) -> dict[str, Any]:
         cfg = self.cfg

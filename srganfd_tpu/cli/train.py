@@ -161,11 +161,16 @@ def run_train(
     about one train step + one checkpoint write; the handler itself never
     saves — a mid-write signal would corrupt an in-flight orbax save).
 
-    Under ``SRGANFD_STEPS_PER_DISPATCH=K`` a mid-epoch/preempt snapshot can
-    lag ``global_step`` by up to K-1 buffered (not yet dispatched) steps;
-    resuming then replays those steps' epochs-worth of data draws slightly
-    differently. Epoch-boundary checkpoints are exact (buffers flush before
-    validation)."""
+    Every snapshot (mid-epoch, preemption, epoch-end) is step-exact:
+    K-step dispatch buffers are flushed before snapshotting so the applied
+    steps are exactly the prefix ``0..step``, and ``--resume`` continues
+    bit-identically (seekable loaders + step-keyed degradation RNG).
+    Note that under ``SRGANFD_STEPS_PER_DISPATCH=K`` the flush itself
+    changes how later steps are grouped into dispatches relative to a
+    never-snapshotting run — per-step numerics are equivalence-tested
+    identical, but the fused-bsrgan path additionally applies steps in
+    degradation-branch groups, so its step ORDER (and hence exact floats)
+    matches the run that wrote the snapshot, not a snapshot-free run."""
     # install the flag-only SIGTERM handler FIRST: setup (first jit compile
     # is tens of seconds) is otherwise a window where a preemption signal
     # still hits SIG_DFL and kills the process without a checkpoint
@@ -374,7 +379,9 @@ def _run_train_body(
     # carry best-so-far across resume so ckpt_best can't regress to a
     # worse post-resume epoch (the reference reloads best_psnr the same
     # way, ESRGAN/utils.py:44 via load_state_dict resume)
-    best.update({k: float(v) for k, v in resume_best.items() if k in best})
+    # carry EVERY tracked key (e.g. d_sr_prob for the Discriminator-SR-Prob
+    # selector), not just the psnr/ssim/lpips defaults
+    best.update({k: float(v) for k, v in resume_best.items()})
     batch_time = AverageMeter("Time", ":6.3f")
     data_time = AverageMeter("Data", ":6.3f")
     g_loss_m = AverageMeter("G loss", ":6.4f")
@@ -396,12 +403,16 @@ def _run_train_body(
     def _preempt_exit_if_requested():
         if not _PREEMPT["signum"]:
             return
+        # K-step buffers must be applied before snapshotting: the fused
+        # path groups steps by degradation branch, so without a flush the
+        # applied set is not a prefix of 0..global_step and no single
+        # `step` value could describe it (resume would double-apply some
+        # steps and skip others). Flush runs on EVERY process — the
+        # dispatches are collective under dp.
+        flush_buffers()
         if is_main:
-            # steps applied to the state = consumed minus still-buffered
-            # (k-step dispatch); resume redraws the buffered ones exactly
-            buffered = len(plain_buf) + sum(len(b) for b in fuse_buffers.values())
             save_snapshot(ckpt_dir, state, epoch, best, is_best=False,
-                          name="ckpt_preempt", step=global_step - buffered)
+                          name="ckpt_preempt", step=global_step)
             flush_snapshots()  # about to exit: the snapshot must be on disk
             print("preemption checkpoint written; exiting", flush=True)
         raise SystemExit(128 + _PREEMPT["signum"])
@@ -418,6 +429,29 @@ def _run_train_body(
     last_metrics: dict = {}
     fuse_buffers: dict[tuple, list] = {}
     plain_buf: list = []
+
+    def flush_buffers():
+        """Dispatch any buffered K-step groups as single steps (same
+        per-step numerics — the scanned multi-step is equivalence-tested
+        against singles). Called at epoch end, before every mid-epoch /
+        preemption snapshot (applied steps must form a prefix for the
+        step-exact resume contract), symmetric across processes."""
+        nonlocal state, metrics
+        for buf in fuse_buffers.values():
+            for gt_b, plan_b, tops_b, lefts_b in buf:
+                gt_g = to_global({"gt": gt_b})["gt"]
+                state, metrics = trainer.bsrgan_fused_train_step(
+                    state, gt_g, plan_b, tops_b, lefts_b, cfg.gt_image_size
+                )
+            buf.clear()
+        for batch_b in plain_buf:
+            if needs_pixel_target:
+                state, metrics = step_fn(
+                    state, batch_b["gt"], batch_b["lr"], batch_b["gt_pixel"]
+                )
+            else:
+                state, metrics = step_fn(state, batch_b["gt"], batch_b["lr"])
+        plain_buf.clear()
     for epoch in range(start_epoch, cfg.epochs):
         if profile_dir and epoch == start_epoch:
             jax.profiler.start_trace(profile_dir)
@@ -492,28 +526,18 @@ def _run_train_body(
                 # not re-log at later print steps as if it were fresh
                 metrics = {}
             end = time.time()
-            if is_main and save_every_steps and global_step and global_step % save_every_steps == 0:
-                buffered = len(plain_buf) + sum(len(b) for b in fuse_buffers.values())
-                save_snapshot(ckpt_dir, state, epoch, best, is_best=False,
-                                     name="ckpt_step", step=global_step + 1 - buffered)
+            if save_every_steps and global_step and global_step % save_every_steps == 0:
+                # flush K-step buffers so applied steps are exactly the
+                # prefix 0..global_step (see _preempt_exit_if_requested);
+                # all processes flush (collective), only main writes
+                flush_buffers()
+                if is_main:
+                    save_snapshot(ckpt_dir, state, epoch, best, is_best=False,
+                                  name="ckpt_step", step=global_step + 1)
             global_step += 1
         # flush buffered K-step groups before validating (keeps per-epoch
         # step counts exact; leftovers run as single dispatches)
-        for buf in fuse_buffers.values():
-            for gt_b, plan_b, tops_b, lefts_b in buf:
-                gt_g = to_global({"gt": gt_b})["gt"]
-                state, metrics = trainer.bsrgan_fused_train_step(
-                    state, gt_g, plan_b, tops_b, lefts_b, cfg.gt_image_size
-                )
-            buf.clear()
-        for batch_b in plain_buf:
-            if needs_pixel_target:
-                state, metrics = step_fn(
-                    state, batch_b["gt"], batch_b["lr"], batch_b["gt_pixel"]
-                )
-            else:
-                state, metrics = step_fn(state, batch_b["gt"], batch_b["lr"])
-        plain_buf.clear()
+        flush_buffers()
         if profile_dir and epoch == start_epoch:
             jax.block_until_ready(jax.tree_util.tree_leaves(state.g_params)[0])
             jax.profiler.stop_trace()

@@ -289,3 +289,67 @@ def test_validate_shards_over_mesh(data_dirs):
     assert plain["psnr"] > 0
     np.testing.assert_allclose(sharded["psnr"], plain["psnr"], rtol=1e-6)
     np.testing.assert_allclose(sharded["ssim"], plain["ssim"], rtol=1e-6)
+
+
+def test_step_exact_resume_fused_kstep(data_dirs, tmp_path, monkeypatch):
+    """Under SRGANFD_FUSE_STEP=1 + K-step dispatch the fuse buffers group
+    steps by degradation branch — applied steps are NOT a prefix unless
+    buffers are flushed before snapshotting. Crash after a mid-epoch
+    snapshot and resume: final params must match the same run without the
+    crash (both snapshot at the same cadence, so both flush identically)."""
+    import jax
+
+    from srganfd_tpu.cli import train as train_mod
+
+    train_dir, valid_dir = data_dirs
+    monkeypatch.setenv("SRGANFD_NATIVE_LOADER", "0")
+    monkeypatch.setenv("SRGANFD_FUSE_STEP", "1")
+    monkeypatch.setenv("SRGANFD_STEPS_PER_DISPATCH", "2")
+
+    def cfg():
+        return get_config(
+            "bsrnet",
+            train_gt_images_dir=train_dir,
+            valid_gt_images_dir=valid_dir,
+            epochs=1,
+            batch_size=2,
+            crop_image_size=64,
+            gt_image_size=32,
+            compute_dtype="float32",
+            g_kwargs={"channels": 8, "growth_channels": 4, "num_rrdb": 1},
+        )
+
+    def leaves(state):
+        return jax.tree_util.tree_leaves({"g": state.g_params, "ema": state.ema_g_params})
+
+    a_dir = tmp_path / "a"
+    a_dir.mkdir()
+    monkeypatch.chdir(a_dir)
+    want = leaves(run_train(cfg(), steps_per_epoch=6, save_every_steps=3)["state"])
+
+    b_dir = tmp_path / "b"
+    b_dir.mkdir()
+    monkeypatch.chdir(b_dir)
+    real_save = train_mod.ckpt.save_checkpoint
+
+    def crash_after_step_snapshot(*args, **kwargs):
+        real_save(*args, **kwargs)
+        if kwargs.get("name") == "ckpt_step":
+            raise KeyboardInterrupt
+
+    monkeypatch.setattr(train_mod.ckpt, "save_checkpoint", crash_after_step_snapshot)
+    with pytest.raises(KeyboardInterrupt):
+        run_train(cfg(), steps_per_epoch=6, save_every_steps=3)
+    monkeypatch.setattr(train_mod.ckpt, "save_checkpoint", real_save)
+
+    snap = b_dir / "results" / "BSRNet_x2" / "ckpt_step_last"
+    import json
+
+    meta = json.loads((snap.parent / "ckpt_step_last.meta.json").read_text())
+    assert meta["step"] == 4  # snapshot at global_step=3, buffers flushed
+
+    got = leaves(
+        run_train(cfg(), steps_per_epoch=6, save_every_steps=3, resume=str(snap))["state"]
+    )
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g))

@@ -103,3 +103,19 @@ def test_degenerated_dataset_kernels(image_dir):
     assert rec["sinc_kernel"].shape == (21, 21)
     for k in ("kernel1", "kernel2", "sinc_kernel"):
         assert abs(rec[k].sum() - 1.0) < 1e-4
+
+
+def test_adapter_rng_disjoint_from_loader_rng():
+    """The adapter's (seed, tag, host, step) entropy tuple must not collide
+    with BatchLoader's per-record (seed, batch_no, j) keying: with a shared
+    cfg.seed, host 0's step-s degradation stream would otherwise be
+    bit-identical to batch 0's record-s augmentation stream."""
+    from srganfd_tpu.cli.degrade_adapter import DegradationAdapter
+    from srganfd_tpu.configs import get_config
+
+    cfg = get_config("bsrgan")
+    a = DegradationAdapter(cfg, seed=7)
+    for s in range(4):
+        adapter_draw = a.step_rng(s).integers(0, 1 << 30, 8).tolist()
+        loader_draw = np.random.default_rng((7, 0, s)).integers(0, 1 << 30, 8).tolist()
+        assert adapter_draw != loader_draw
