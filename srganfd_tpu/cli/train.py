@@ -621,6 +621,11 @@ def main() -> None:
         help="accumulate gradients over N chunks of the batch before each optimizer step",
     )
     ap.add_argument(
+        "--skip-nonfinite",
+        action="store_true",
+        help="failure protection: freeze params/opt/EMA/D-vars on NaN/Inf-gradient steps",
+    )
+    ap.add_argument(
         "--async-ckpt",
         action="store_true",
         help="write snapshots on a background thread (step loop pays only the device->host copy)",
@@ -655,6 +660,8 @@ def main() -> None:
         overrides["crop_image_size"] = 0
     if args.grad_accum:
         overrides["grad_accum_steps"] = args.grad_accum
+    if args.skip_nonfinite:
+        overrides["skip_nonfinite_updates"] = True
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
     cfg = configs.get_config(args.config, **overrides)

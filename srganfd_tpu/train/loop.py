@@ -62,6 +62,12 @@ def _mean_sigmoid(outputs) -> jax.Array:
     return jnp.mean(jax.nn.sigmoid(o))
 
 
+def _all_finite(tree) -> jax.Array:
+    """Scalar bool: every leaf of ``tree`` is free of NaN/Inf."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.all(jnp.stack([jnp.all(jnp.isfinite(l)) for l in leaves]))
+
+
 def _weighted(weights: tuple[float, ...], losses: jax.Array) -> jax.Array:
     """torch.sum(torch.mul(w, losses)) with broadcast semantics
     (``BSRGAN/train_bsrgan.py:450-453``): scalar weight lists scale the
@@ -125,11 +131,14 @@ class Trainer:
         milestones = tuple(m * steps_per_epoch for m in cfg.milestones_epochs)
 
         def tx(lr):
-            # reference optimizer (Adam + MultiStepLR) with two production
-            # guards the reference lacks, both off by default:
-            # grad_clip_norm > 0 clips the global norm; skip_nonfinite_updates
-            # drops inf/nan update steps instead of poisoning the params
-            # (the optimizer state update is skipped too).
+            # reference optimizer (Adam + MultiStepLR) with a production
+            # guard the reference lacks (off by default): grad_clip_norm > 0
+            # clips the global norm. skip_nonfinite_updates is enforced at
+            # the update SITES in make_train_step (a where-select freeze of
+            # params/opt-state/EMA/D-vars) rather than via
+            # optax.apply_if_finite, which protects only params+opt-state —
+            # a NaN forward would still poison EMA and the discriminator's
+            # batch_stats / spectral-norm u permanently.
             chain = [
                 optax.adamw(
                     multistep_lr(lr, milestones, cfg.lr_scheduler_gamma),
@@ -141,10 +150,7 @@ class Trainer:
             ]
             if cfg.grad_clip_norm:
                 chain.insert(0, optax.clip_by_global_norm(cfg.grad_clip_norm))
-            opt = optax.chain(*chain) if len(chain) > 1 else chain[0]
-            if cfg.skip_nonfinite_updates:
-                opt = optax.apply_if_finite(opt, max_consecutive_errors=10**6)
-            return opt
+            return optax.chain(*chain) if len(chain) > 1 else chain[0]
 
         self.g_tx = tx(cfg.model_lr)
         self.d_tx = tx(cfg.discriminator_lr or cfg.model_lr)
@@ -264,6 +270,17 @@ class Trainer:
         # the loss or state is batch-coupled (relativistic opponent means,
         # BN batch stats, SN power-iteration cadence) — see PARITY.md.
         accum = max(1, int(cfg.grad_accum_steps))
+        # failure protection (opt-in, beyond reference — SURVEY §5): when a
+        # step's gradients contain NaN/Inf, freeze params/opt-state/EMA/
+        # D-vars for that update instead of poisoning the run; the skip is
+        # a where-select, so guarded finite steps stay bit-identical to
+        # unguarded ones and compose with K-step scan / fused dispatch.
+        guard = bool(cfg.skip_nonfinite_updates)
+
+        def _pick(finite, new_tree, old_tree):
+            return jax.tree_util.tree_map(
+                lambda n, o: jnp.where(finite, n, o), new_tree, old_tree
+            )
 
         def _chunk(x):
             if x.shape[0] % accum:
@@ -341,6 +358,12 @@ class Trainer:
                 grads, state.d_opt_state, state.d_params
             )
             d_params = optax.apply_updates(state.d_params, updates)
+            if guard:
+                finite = _all_finite(grads)
+                d_params = _pick(finite, d_params, state.d_params)
+                d_opt_state = _pick(finite, d_opt_state, state.d_opt_state)
+                d_vars_new = _pick(finite, d_vars_new, state.d_vars)
+                aux["d_update_skipped"] = 1.0 - finite.astype(jnp.float32)
             state = state.replace(
                 d_params=d_params, d_opt_state=d_opt_state, d_vars=d_vars_new
             )
@@ -388,6 +411,12 @@ class Trainer:
             updates, g_opt_state = self.g_tx.update(g_grads, state.g_opt_state, state.g_params)
             g_params = optax.apply_updates(state.g_params, updates)
             ema = ema_update(state.ema_g_params, g_params, cfg.model_ema_decay)
+            if guard:
+                finite = _all_finite(g_grads)
+                g_params = _pick(finite, g_params, state.g_params)
+                g_opt_state = _pick(finite, g_opt_state, state.g_opt_state)
+                ema = _pick(finite, ema, state.ema_g_params)
+                parts["g_update_skipped"] = 1.0 - finite.astype(jnp.float32)
             state = state.replace(
                 g_params=g_params,
                 g_opt_state=g_opt_state,

@@ -164,6 +164,58 @@ def test_skip_nonfinite_updates_guard():
     )  # without the guard the NaN propagates into params
 
 
+def test_skip_nonfinite_guard_protects_ema_and_d_vars():
+    """The guard must freeze EVERYTHING a poisoned step touches: not just
+    params/opt-state, but also the EMA twin and the discriminator's
+    mutable collections (spectral-norm u / batch stats) — a NaN forward
+    would otherwise poison d_vars permanently even with an optimizer-level
+    guard like optax.apply_if_finite. Finite steps must stay bit-identical
+    to the unguarded step."""
+    base = _tiny(get_config("bsrgan"))
+    base = base.replace(
+        g_kwargs={**base.g_kwargs, "num_rrdb": 1},
+        content_weight=(),
+        skip_nonfinite_updates=True,
+        gt_image_size=32,
+        crop_image_size=0,
+    )
+    gt, lr = _batch(np.random.default_rng(7), 2, 32, base.upscale_factor)
+
+    tr = Trainer(base, steps_per_epoch=10)
+    state0 = tr.init_state(jax.random.PRNGKey(7), lr.shape, gt.shape)
+    snap = jax.tree_util.tree_map(np.asarray, state0)
+
+    # finite step: guarded == unguarded, bit-identical
+    tr_off = Trainer(base.replace(skip_nonfinite_updates=False), steps_per_epoch=10)
+    s_on, m_on = tr.train_step(state0, gt, lr)
+    state0b = tr_off.init_state(jax.random.PRNGKey(7), lr.shape, gt.shape)
+    s_off, _ = tr_off.train_step(state0b, gt, lr)
+    assert float(m_on["g_update_skipped"]) == 0.0
+    assert float(m_on["d_update_skipped"]) == 0.0
+    for a, b in zip(
+        jax.tree_util.tree_leaves((s_on.g_params, s_on.d_params, s_on.ema_g_params, s_on.d_vars)),
+        jax.tree_util.tree_leaves((s_off.g_params, s_off.d_params, s_off.ema_g_params, s_off.d_vars)),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # poisoned step: the WHOLE state (params, opt, EMA, d_vars) is frozen
+    state1 = tr.init_state(jax.random.PRNGKey(7), lr.shape, gt.shape)
+    lr_bad = lr.at[0, 0, 0, 0].set(jnp.nan)
+    gt_bad = gt.at[0, 0, 0, 0].set(jnp.nan)
+    s_bad, m_bad = tr.train_step(state1, gt_bad, lr_bad)
+    assert float(m_bad["g_update_skipped"]) == 1.0
+    assert float(m_bad["d_update_skipped"]) == 1.0
+    for a, b in zip(
+        jax.tree_util.tree_leaves(
+            (snap.g_params, snap.d_params, snap.ema_g_params, snap.d_vars, snap.g_opt_state, snap.d_opt_state)
+        ),
+        jax.tree_util.tree_leaves(
+            (s_bad.g_params, s_bad.d_params, s_bad.ema_g_params, s_bad.d_vars, s_bad.g_opt_state, s_bad.d_opt_state)
+        ),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_grad_clip_norm_inactive_when_large():
     """A clip threshold far above the true grad norm must not change the
     update (the chain wiring preserves reference optimizer semantics)."""
