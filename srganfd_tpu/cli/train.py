@@ -227,6 +227,14 @@ def _run_train_body(
     start_epoch = 0
     start_step = 0
     resume_best: dict = {}
+    if resume == "auto":
+        # preemptible-job ergonomics: rerun the SAME command line and pick
+        # up from the newest complete snapshot (preempt/step/epoch), or
+        # start fresh when none exists
+        resume = ckpt.find_auto_resume(
+            f"{cfg.results_dir}/{cfg.exp_name or cfg.name}", spe
+        ) or ""
+        print(f"auto-resume: {resume or 'no snapshot found, fresh start'}")
     if resume:
         # full-state resume: params/EMA/optimizer/step/epoch/best metrics
         # (reference load_mode="resume", ESRGAN/utils.py:41-67)
@@ -611,7 +619,12 @@ def main() -> None:
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--steps-per-epoch", type=int, default=None)
     ap.add_argument("--compute-dtype", default=None, choices=["bfloat16", "float32"])
-    ap.add_argument("--resume", default="", help="checkpoint dir to resume full state from")
+    ap.add_argument(
+        "--resume",
+        default="",
+        help="checkpoint dir to resume full state from, or 'auto' to pick the "
+        "newest complete snapshot in the results dir (fresh start if none)",
+    )
     ap.add_argument("--profile-dir", default="", help="capture a jax.profiler trace of epoch 0")
     ap.add_argument("--save-every-steps", type=int, default=0, help="mid-epoch snapshot cadence")
     ap.add_argument(

@@ -25,6 +25,7 @@ __all__ = [
     "save_checkpoint",
     "load_checkpoint",
     "restore_into",
+    "find_auto_resume",
     "AsyncCheckpointWriter",
 ]
 
@@ -149,6 +150,36 @@ def _sweep_incomplete(directory: str) -> None:
                 os.rename(path, base)
                 if os.path.exists(path + ".meta.json"):
                     os.replace(path + ".meta.json", base + ".meta.json")
+
+
+def find_auto_resume(directory: str, steps_per_epoch: int) -> str | None:
+    """Newest complete snapshot in ``directory`` for ``--resume auto``:
+    preemptible jobs restart with the SAME command line and continue from
+    whichever of ``ckpt_preempt_last`` / ``ckpt_step_last`` / ``ckpt_last``
+    has the most applied steps (ties break toward the later name in that
+    order — a preempt snapshot at step N supersedes an epoch save at N).
+    Sweeps mid-swap leftovers first so a crash during a save never hides
+    the recoverable snapshot. Returns None when nothing resumable exists
+    (fresh start). The reference has no analog (resume requires manually
+    pointing RESUME at a .pth.tar, ESRGAN/utils.py:41-67)."""
+    if not os.path.isdir(directory):
+        return None
+    _sweep_incomplete(directory)
+    best_path, best_key = None, None
+    for rank, name in enumerate(("ckpt_last", "ckpt_step_last", "ckpt_preempt_last")):
+        path = os.path.join(directory, name)
+        meta_path = path + ".meta.json"
+        if not (os.path.isdir(path) and os.path.exists(meta_path)):
+            continue
+        with open(meta_path) as f:
+            meta = json.load(f)
+        step = meta.get("step")
+        if step is None:  # pre-step-metadata snapshot: epoch granularity
+            step = (int(meta.get("epoch", 0)) + 1) * steps_per_epoch
+        key = (int(step), rank)
+        if best_key is None or key > best_key:
+            best_path, best_key = path, key
+    return best_path
 
 
 def load_checkpoint(path: str, template: Any | None = None) -> dict[str, Any]:

@@ -353,3 +353,50 @@ def test_step_exact_resume_fused_kstep(data_dirs, tmp_path, monkeypatch):
     )
     for w, g in zip(want, got):
         np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+
+
+def test_resume_auto_picks_newest_snapshot(data_dirs, tmp_path, monkeypatch):
+    """--resume auto restarts from the snapshot with the most applied
+    steps (preempt/step/epoch ranked by step meta), and falls back to a
+    fresh start when the results dir is empty."""
+    import json
+
+    from srganfd_tpu.train import checkpoint as ckpt_mod
+
+    train_dir, valid_dir = data_dirs
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("SRGANFD_NATIVE_LOADER", "0")
+    cfg = get_config(
+        "rrdbnet",
+        train_gt_images_dir=train_dir,
+        valid_gt_images_dir=valid_dir,
+        epochs=1,
+        batch_size=2,
+        gt_image_size=32,
+        compute_dtype="float32",
+        g_kwargs={"channels": 8, "growth_channels": 4, "num_blocks": 1},
+    )
+    # empty dir: fresh start, trains fine
+    out = run_train(cfg, steps_per_epoch=2, resume="auto")
+    ckpt_dir = str(tmp_path / "results" / "train_RRDBNet_x4")
+    # epoch save carries step=2
+    assert json.loads(open(ckpt_dir + "/ckpt_last.meta.json").read())["step"] == 2
+
+    # fabricate a later step snapshot: auto must pick it over ckpt_last
+    import shutil
+
+    shutil.copytree(ckpt_dir + "/ckpt_last", ckpt_dir + "/ckpt_step_last")
+    with open(ckpt_dir + "/ckpt_step_last.meta.json", "w") as f:
+        json.dump({"epoch": 1, "best_metrics": {}, "step": 7}, f)
+    assert ckpt_mod.find_auto_resume(ckpt_dir, 2).endswith("ckpt_step_last")
+
+    # preempt snapshot at the SAME step outranks the epoch save
+    shutil.copytree(ckpt_dir + "/ckpt_last", ckpt_dir + "/ckpt_preempt_last")
+    with open(ckpt_dir + "/ckpt_preempt_last.meta.json", "w") as f:
+        json.dump({"epoch": 0, "best_metrics": {}, "step": 7}, f)
+    assert ckpt_mod.find_auto_resume(ckpt_dir, 2).endswith("ckpt_preempt_last")
+
+    # end-to-end: auto resume actually loads and continues
+    cfg2 = cfg.replace(epochs=2)
+    out2 = run_train(cfg2, steps_per_epoch=2, resume="auto")
+    assert np.isfinite(out2["best_psnr"])
