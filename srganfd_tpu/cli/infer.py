@@ -65,6 +65,7 @@ def run_sequence(
     paths: list[str],
     out_dir: str,
     batch: int = 8,
+    mesh=None,
 ) -> dict:
     """SR a frame sequence: shape-bucketed, batched, pipelined.
 
@@ -72,7 +73,10 @@ def run_sequence(
     repeating the last frame — no extra compile). Batches are submitted
     one ahead of the fetch, so PNG decode/write on the host overlaps the
     device computation of the next batch (JAX dispatch is async; only the
-    ``np.asarray`` fetch blocks). Returns {"frames": n, "buckets": k}.
+    ``np.asarray`` fetch blocks). With ``mesh`` (``--data-shard``) the
+    frame batch is sharded over the data axis — multi-chip sequence
+    serving; per-frame outputs are sharding-invariant. Returns
+    {"frames": n, "buckets": k}.
     """
     import collections
 
@@ -89,6 +93,18 @@ def run_sequence(
             sr8 = np.clip(out_img * 255.0, 0, 255).astype(np.uint8)
             cv2.imwrite(os.path.join(out_dir, os.path.basename(path)), sr8[..., ::-1])
 
+    if mesh is not None:
+        from srganfd_tpu.parallel import batch_sharding, replicated_sharding
+
+        ndata = mesh.shape.get("data", 1)
+        if batch % ndata:
+            raise SystemExit(
+                f"--data-shard: --batch {batch} not divisible by the "
+                f"{ndata}-device data axis"
+            )
+        params = jax.device_put(params, replicated_sharding(mesh))
+        bsh = batch_sharding(mesh)
+
     frames = 0
     for shape, group in sorted(by_shape.items()):
         pending = None  # (device result, paths) submitted but not fetched
@@ -98,6 +114,8 @@ def run_sequence(
             while len(imgs) < batch:  # pad tail: no second compile
                 imgs.append(imgs[-1])
             x = jnp.asarray(np.stack(imgs))
+            if mesh is not None:
+                x = jax.device_put(x, bsh)
             sr = apply_fn(params, x)[: len(chunk)]  # async dispatch
             if pending is not None:
                 write_results(*pending)
@@ -131,6 +149,12 @@ def main() -> None:
         help="frames per dispatch when --inputs-path is a directory (sequence mode)",
     )
     ap.add_argument("--tile-overlap", type=int, default=16)
+    ap.add_argument(
+        "--data-shard",
+        action="store_true",
+        help="sequence mode: shard each frame batch over the data mesh axis "
+        "(multi-chip serving throughput; --batch must divide by the device count)",
+    )
     ap.add_argument(
         "--spatial-shard",
         action="store_true",
@@ -248,7 +272,14 @@ def main() -> None:
             )
             return
         t0 = time.perf_counter()
-        stats = run_sequence(apply_fn, params, frame_paths, args.output, batch=args.batch)
+        seq_mesh = None
+        if args.data_shard:
+            from srganfd_tpu.parallel import make_mesh
+
+            seq_mesh = make_mesh()
+        stats = run_sequence(
+            apply_fn, params, frame_paths, args.output, batch=args.batch, mesh=seq_mesh
+        )
         dt = time.perf_counter() - t0
         print(
             f"SR'd {stats['frames']} frames ({stats['buckets']} shape bucket(s)) "

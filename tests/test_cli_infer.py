@@ -62,3 +62,38 @@ def test_infer_sequence_mode_buckets_and_matches_single(tmp_path):
         single8 = np.clip(single * 255.0, 0, 255).astype(np.uint8)
         got = cv2.imread(str(out_dir / name))[..., ::-1]
         np.testing.assert_array_equal(got, single8)
+
+
+def test_infer_sequence_data_shard_matches_unsharded(tmp_path):
+    """--data-shard: frame batches sharded over the data mesh axis produce
+    byte-identical PNGs to the unsharded sequence path (multi-chip
+    sequence serving is a pure layout change)."""
+    from srganfd_tpu.parallel import make_mesh
+
+    frames = tmp_path / "frames"
+    frames.mkdir()
+    for i in range(5):  # ragged tail at batch 4
+        _write(frames / f"f{i}.png", 12, 10, i)
+
+    model = create_model("rrdbnet_x4", channels=8, growth_channels=4, num_blocks=1)
+    params = model.init(jax.random.PRNGKey(1), jnp.zeros((1, 12, 10, 3)))["params"]
+    apply_fn = jax.jit(lambda p, z: model.apply({"params": p}, z))
+    paths = sorted(str(p) for p in frames.iterdir())
+
+    plain_dir, shard_dir = tmp_path / "plain", tmp_path / "shard"
+    infer_cli.run_sequence(apply_fn, params, paths, str(plain_dir), batch=4)
+    mesh = make_mesh((4,), ("data",), devices=jax.devices()[:4])
+    stats = infer_cli.run_sequence(
+        apply_fn, params, paths, str(shard_dir), batch=4, mesh=mesh
+    )
+    assert stats["frames"] == 5
+    for name in sorted(os.listdir(plain_dir)):
+        a = cv2.imread(str(plain_dir / name))
+        b = cv2.imread(str(shard_dir / name))
+        np.testing.assert_array_equal(a, b)
+
+    # indivisible batch is a clear error, not silent misbehavior
+    with pytest.raises(SystemExit, match="not divisible"):
+        infer_cli.run_sequence(
+            apply_fn, params, paths, str(tmp_path / "x"), batch=3, mesh=mesh
+        )
