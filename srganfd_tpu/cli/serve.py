@@ -79,6 +79,7 @@ class ServingEngine:
         bucket: int = 0,
         attn_chunk: int = 0,
         attn_backend: str = "chunked",
+        spatial_shard: bool = False,
         model_kwargs: dict | None = None,
     ) -> None:
         import jax
@@ -104,6 +105,16 @@ class ServingEngine:
         self.tile = int(tile)
         self.tile_overlap = int(tile_overlap)
         self.self_ensemble = bool(self_ensemble)
+        # multi-chip latency mode: each frame's H axis shards over the
+        # mesh with ICI halo exchange (parallel/spatial.py) — the serving
+        # analog of `infer --spatial-shard`; mutually exclusive with tile
+        self.spatial_mesh = None
+        if spatial_shard:
+            if self.tile:
+                raise ValueError("--spatial-shard and --tile are mutually exclusive")
+            from srganfd_tpu.parallel import make_mesh
+
+            self.spatial_mesh = make_mesh()
         self._apply = jax.jit(lambda p, z: self.model.apply({"params": p}, z))
 
         probe = jnp.zeros((1, 16, 16, 3), jnp.float32)
@@ -130,7 +141,20 @@ class ServingEngine:
 
         padded, h, w = _pad_to_multiple(img, self.bucket)
         self._compiled.add(padded.shape[:2])
-        if self.tile:
+        if self.spatial_mesh is not None:
+            from srganfd_tpu.parallel.spatial import spatial_sharded_sr
+
+            run_one = lambda im: spatial_sharded_sr(
+                self._apply, self.params, im, self.upscale,
+                self.spatial_mesh, halo=self.tile_overlap,
+            )
+            if self.self_ensemble:
+                from srganfd_tpu.ops.self_ensemble import self_ensemble
+
+                sr = self_ensemble(run_one, padded)
+            else:
+                sr = np.asarray(run_one(padded))
+        elif self.tile:
             from srganfd_tpu.parallel.tiled_inference import tiled_sr
 
             run_one = lambda im: tiled_sr(
@@ -358,6 +382,11 @@ def main() -> None:
     ap.add_argument("--self-ensemble", action="store_true")
     ap.add_argument("--tile", type=int, default=0)
     ap.add_argument("--tile-overlap", type=int, default=16)
+    ap.add_argument(
+        "--spatial-shard", action="store_true",
+        help="shard each frame's H axis over all devices (ICI halo exchange) — "
+        "multi-chip latency mode; mutually exclusive with --tile",
+    )
     ap.add_argument("--attn-chunk", type=int, default=0)
     ap.add_argument("--attn-backend", choices=["chunked", "flash"], default="chunked")
     args = ap.parse_args()
@@ -374,6 +403,7 @@ def main() -> None:
         quant_int8=args.quant_int8, self_ensemble=args.self_ensemble,
         tile=args.tile, tile_overlap=args.tile_overlap, bucket=args.bucket,
         attn_chunk=args.attn_chunk, attn_backend=args.attn_backend,
+        spatial_shard=args.spatial_shard,
     )
     if args.warmup:
         shapes = [tuple(int(v) for v in s.split("x")) for s in args.warmup.split(",")]

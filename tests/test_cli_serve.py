@@ -147,3 +147,24 @@ def test_http_transport(engine, tmp_path):
     with urllib.request.urlopen(f"http://127.0.0.1:{port}/stats", timeout=5) as r:
         stats = json.loads(r.read())
     assert stats["served"] >= 1 and stats["upscale"] == 4
+
+
+def test_spatial_shard_engine_matches_plain(engine):
+    """--spatial-shard: per-frame H-axis sharding over the mesh returns
+    the same SR as the single-device engine (halo exchange is exact),
+    and composing it with --tile is rejected."""
+    import pytest as _pytest
+
+    img = np.random.default_rng(3).uniform(0, 1, (64, 16, 3)).astype(np.float32)
+    # halo (tile_overlap) must fit inside each device's 64/8-row H shard
+    sharded = ServingEngine(
+        "rrdbnet_x4", model_kwargs=TINY, bucket=16, spatial_shard=True, tile_overlap=4
+    )
+    a = engine.sr_array(img)
+    b = sharded.sr_array(img)
+    # halo=4 truncates the trunk's receptive field at shard seams: tiny
+    # boundary deltas are expected (same contract as tests/test_spatial_shard)
+    np.testing.assert_allclose(a, b, atol=5e-5)
+
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        ServingEngine("rrdbnet_x4", model_kwargs=TINY, tile=32, spatial_shard=True)
