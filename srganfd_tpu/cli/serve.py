@@ -30,6 +30,10 @@ TPU-first serving behaviors:
   - ``--warmup HxW[,HxW...]`` pre-compiles the hot shapes before the
     transport opens, so the first real frame doesn't pay the 20-40 s
     cold compile.
+  - ``--batch N``: watch-mode backlogs drain in batched dispatches —
+    same-bucket frames stack into ONE device call (ragged tails
+    repeat-pad to the fixed batch), keeping the MXU batch-efficient
+    when a solver drops many frames between polls.
   - ``--half`` serves in bfloat16 (the measured-fastest mode on v5e —
     docs/tpu_performance.md); --quant-int8 / --self-ensemble / --tile
     compose like the one-shot CLI.
@@ -77,6 +81,7 @@ class ServingEngine:
         tile: int = 0,
         tile_overlap: int = 16,
         bucket: int = 0,
+        batch: int = 1,
         attn_chunk: int = 0,
         attn_backend: str = "chunked",
         spatial_shard: bool = False,
@@ -102,6 +107,7 @@ class ServingEngine:
         kwargs.update(model_kwargs or {})
         self.model = create_model(arch, **kwargs)
         self.bucket = int(bucket)
+        self.batch = max(1, int(batch))
         self.tile = int(tile)
         self.tile_overlap = int(tile_overlap)
         self.self_ensemble = bool(self_ensemble)
@@ -174,6 +180,98 @@ class ServingEngine:
         else:
             sr = np.asarray(self._apply(self.params, jnp.asarray(padded)[None])[0])
         return np.asarray(sr, np.float32)[: h * self.upscale, : w * self.upscale]
+
+    def sr_batch(self, imgs: list[np.ndarray]) -> list[np.ndarray]:
+        """SR a list of frames with fixed-size batched dispatches.
+
+        Frames pad to the bucket and group by padded shape; each group
+        runs through the resident jitted apply in stacks padded (by
+        repeating the last frame) to exactly ``self.batch`` rows, so a
+        backlog of ANY size compiles one program per (batch, H, W)
+        bucket and keeps the MXU batch-efficient. Per-frame modes
+        (tile / spatial shard / self-ensemble) and ``batch <= 1`` fall
+        back to ``sr_array``.
+        """
+        per_frame = (
+            self.batch <= 1
+            or self.tile
+            or self.self_ensemble
+            or self.spatial_mesh is not None
+        )
+        if per_frame:
+            return [self.sr_array(im) for im in imgs]
+        import jax.numpy as jnp
+
+        padded = [_pad_to_multiple(im, self.bucket) for im in imgs]
+        groups: dict[tuple[int, int], list[int]] = {}
+        for i, (p, _, _) in enumerate(padded):
+            groups.setdefault(p.shape[:2], []).append(i)
+        out: list[np.ndarray | None] = [None] * len(imgs)
+        for shape, idxs in groups.items():
+            self._compiled.add(shape)
+            for k in range(0, len(idxs), self.batch):
+                chunk = idxs[k : k + self.batch]
+                stack = np.stack([padded[i][0] for i in chunk])
+                if len(chunk) < self.batch:  # ragged tail: repeat-pad
+                    pad = np.repeat(stack[-1:], self.batch - len(chunk), axis=0)
+                    stack = np.concatenate([stack, pad], axis=0)
+                sr = np.asarray(self._apply(self.params, jnp.asarray(stack)))
+                for j, i in enumerate(chunk):
+                    _, h, w = padded[i]
+                    out[i] = np.asarray(sr[j], np.float32)[
+                        : h * self.upscale, : w * self.upscale
+                    ]
+        return out  # type: ignore[return-value]
+
+    def sr_files_batched(self, pairs: list[tuple[str, str]]) -> list[dict]:
+        """Decode -> batched SR -> encode for (in_path, out_path) pairs.
+
+        Per-file decode/encode failures yield ``{"ok": False}`` replies
+        without poisoning the rest of the batch. Latency is accounted as
+        the batch wall-clock split evenly over its frames.
+        """
+        import cv2
+
+        from srganfd_tpu.data.datasets import load_image_rgb
+
+        t0 = time.perf_counter()
+        imgs: list[np.ndarray] = []
+        live: list[int] = []
+        replies: list[dict] = [None] * len(pairs)  # type: ignore[list-item]
+        for i, (in_path, _) in enumerate(pairs):
+            try:
+                imgs.append(load_image_rgb(in_path))
+                live.append(i)
+            except Exception as e:  # noqa: BLE001 — a bad frame must not kill the batch
+                self.failed += 1
+                replies[i] = {"ok": False, "error": str(e)[:300]}
+        srs = self.sr_batch(imgs) if imgs else []
+        for img, sr, i in zip(imgs, srs, live):
+            in_path, out_path = pairs[i]
+            try:
+                sr8 = np.clip(sr * 255.0, 0, 255).astype(np.uint8)
+                out_dir = os.path.dirname(os.path.abspath(out_path))
+                os.makedirs(out_dir, exist_ok=True)
+                if not cv2.imwrite(out_path, sr8[..., ::-1]):
+                    raise IOError(f"failed to encode {out_path}")
+            except Exception as e:  # noqa: BLE001
+                self.failed += 1
+                replies[i] = {"ok": False, "error": str(e)[:300]}
+                continue
+            replies[i] = {
+                "output": out_path,
+                "in_hw": list(img.shape[:2]),
+                "out_hw": list(sr8.shape[:2]),
+                "ok": True,
+            }
+        ms = (time.perf_counter() - t0) * 1e3
+        per_frame_ms = ms / max(1, len(live))
+        for i in live:
+            if replies[i]["ok"]:
+                self.served += 1
+                self.latencies_ms.append(per_frame_ms)
+                replies[i]["ms"] = round(per_frame_ms, 2)
+        return replies
 
     def sr_file(self, in_path: str, out_path: str) -> dict:
         """Decode -> SR -> encode; returns the reply record."""
@@ -271,6 +369,7 @@ def serve_watch(
     pending: dict[str, float] = {}
     done = 0
     while True:
+        ready: list[tuple[str, str, float]] = []
         for p in list_image_files(in_dir):
             try:
                 mt = os.path.getmtime(p)
@@ -283,19 +382,21 @@ def serve_watch(
                 seen[p] = mt
                 continue
             if pending.get(p) == mt or once:
-                reply = None
-                try:
-                    reply = engine.sr_file(p, os.path.join(out_dir, os.path.basename(p)))
-                except Exception as e:  # noqa: BLE001
-                    engine.failed += 1
-                    print(f"! {p}: {e}", file=sys.stderr, flush=True)
+                ready.append((p, out_p, mt))
+            else:
+                pending[p] = mt  # wait one poll for the mtime to settle
+        if ready:
+            # drain the backlog through batched dispatches (one compiled
+            # program per (batch, bucket) — see ServingEngine.sr_batch)
+            replies = engine.sr_files_batched([(p, out_p) for p, out_p, _ in ready])
+            for (p, _, mt), reply in zip(ready, replies):
                 seen[p] = mt
                 pending.pop(p, None)
                 done += 1
-                if reply:
+                if reply.get("ok"):
                     print(json.dumps({"input": p, **reply}), flush=True)
-            else:
-                pending[p] = mt  # wait one poll for the mtime to settle
+                else:
+                    print(f"! {p}: {reply.get('error')}", file=sys.stderr, flush=True)
         if once:
             return done
         if should_stop is not None and should_stop():
@@ -376,6 +477,9 @@ def main() -> None:
     ap.add_argument("--poll-interval", type=float, default=0.5)
     ap.add_argument("--bucket", type=int, default=0,
                     help="pad inputs to multiples of this (<= #buckets compiles); 0 = exact shapes")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="watch mode: drain backlogs in batched dispatches of this size "
+                    "(same-bucket frames stack into one device call; tails repeat-pad)")
     ap.add_argument("--warmup", default="", help="pre-compile shapes, e.g. 256x256,512x512")
     ap.add_argument("--half", action="store_true")
     ap.add_argument("--quant-int8", action="store_true")
@@ -402,6 +506,7 @@ def main() -> None:
         args.arch, weights=args.weights, use_ema=args.use_ema, half=args.half,
         quant_int8=args.quant_int8, self_ensemble=args.self_ensemble,
         tile=args.tile, tile_overlap=args.tile_overlap, bucket=args.bucket,
+        batch=args.batch,
         attn_chunk=args.attn_chunk, attn_backend=args.attn_backend,
         spatial_shard=args.spatial_shard,
     )

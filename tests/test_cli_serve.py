@@ -149,6 +149,50 @@ def test_http_transport(engine, tmp_path):
     assert stats["served"] >= 1 and stats["upscale"] == 4
 
 
+def test_batched_drain_matches_per_frame(engine, tmp_path):
+    """--batch: watch-mode backlogs drain in fixed-size batched
+    dispatches; outputs must match the per-frame engine, mixed sizes
+    group by bucket, and the ragged tail (5 frames, batch 2) repeat-pads
+    without polluting real outputs."""
+    batched = ServingEngine("rrdbnet_x4", model_kwargs=TINY, bucket=16, batch=2)
+    batched.params = engine.params
+
+    in_dir, out_b, out_p = tmp_path / "in", tmp_path / "out_b", tmp_path / "out_p"
+    in_dir.mkdir()
+    sizes = [(20, 24), (20, 24), (17, 30), (40, 8), (20, 24)]  # 2 buckets, ragged tail
+    for i, (h, w) in enumerate(sizes):
+        _write_png(in_dir / f"f{i}.png", h=h, w=w, seed=i)
+
+    assert serve_watch(batched, str(in_dir), str(out_b), once=True) == 5
+    assert serve_watch(engine, str(in_dir), str(out_p), once=True) == 5
+    for i in range(5):
+        a = cv2.imread(str(out_b / f"f{i}.png"))
+        b = cv2.imread(str(out_p / f"f{i}.png"))
+        assert a.shape == b.shape == (sizes[i][0] * 4, sizes[i][1] * 4, 3)
+        np.testing.assert_allclose(
+            a.astype(np.float32), b.astype(np.float32), atol=1.0
+        )  # one uint8 step of jitter allowed between batch-2 and batch-1 programs
+    assert batched.stats()["served"] == 5
+
+
+def test_batched_drain_survives_bad_frame(engine, tmp_path):
+    """A corrupt file inside a backlog fails alone: the rest of the
+    batch is served and counters reflect exactly one failure."""
+    batched = ServingEngine("rrdbnet_x4", model_kwargs=TINY, bucket=16, batch=2)
+    batched.params = engine.params
+    in_dir, out_dir = tmp_path / "in", tmp_path / "out"
+    in_dir.mkdir()
+    for i in range(2):
+        _write_png(in_dir / f"f{i}.png", seed=i)
+    (in_dir / "broken.png").write_bytes(b"not a png")
+
+    done = serve_watch(batched, str(in_dir), str(out_dir), once=True)
+    assert done == 3
+    assert sorted(os.listdir(out_dir)) == ["f0.png", "f1.png"]
+    stats = batched.stats()
+    assert stats["served"] == 2 and stats["failed"] == 1
+
+
 def test_spatial_shard_engine_matches_plain(engine):
     """--spatial-shard: per-frame H-axis sharding over the mesh returns
     the same SR as the single-device engine (halo exchange is exact),
