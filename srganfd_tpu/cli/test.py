@@ -77,6 +77,15 @@ def main() -> None:
         help=".mat/.npz pristine model; enables NIQE (default $SRGANFD_NIQE_MODEL)",
     )
     ap.add_argument(
+        "--niqe-impl",
+        choices=("auto", "module", "numpy"),
+        default="auto",
+        help="which reference NIQE to match: 'module' = bit-exact twin of "
+        "the torch NIQE the eval scripts call (test_bsrgan.py:125,227; "
+        "needs torch), 'numpy' = the numpy niqe() implementation; "
+        "'auto' picks module when torch is importable",
+    )
+    ap.add_argument(
         "--self-ensemble",
         action="store_true",
         help="x8 geometric self-ensemble (rotations x flip averaged after "
@@ -117,10 +126,17 @@ def run_eval(args) -> dict:
         print("! LPIPS weights unavailable: reporting surrogate LPIPS (relative only)")
 
     niqe_model = None
+    niqe_use_module = False
     if args.niqe_model:
         from srganfd_tpu.metrics import niqe as niqe_mod
 
         niqe_model = niqe_mod.load_niqe_model(args.niqe_model)
+        if args.niqe_impl in ("auto", "module"):
+            from srganfd_tpu.metrics import niqe_torch
+
+            niqe_use_module = niqe_torch.available()
+            if args.niqe_impl == "module" and not niqe_use_module:
+                raise SystemExit("--niqe-impl module requires torch")
 
     d_model = d_variables = None
     if (args.save_discriminator_eval or args.save_attention_layers) and cfg.d_arch:
@@ -199,7 +215,12 @@ def run_eval(args) -> dict:
         if niqe_model is not None:
             from srganfd_tpu.metrics import niqe as niqe_mod
 
-            n_score = niqe_mod.niqe(sr_np[..., ::-1] * 255.0, niqe_model)
+            if niqe_use_module:
+                from srganfd_tpu.metrics.niqe_torch import niqe_torch_exact
+
+                n_score = niqe_torch_exact(sr_np.astype(np.float32), niqe_model)
+            else:
+                n_score = niqe_mod.niqe(sr_np[..., ::-1] * 255.0, niqe_model)
             niqes.append(n_score)
             extra = f"  NIQE {n_score:.3f}"
         print(f"[{i + 1}/{len(gt_paths)}] {gt_path}  PSNR {p:.2f}  SSIM {s:.4f}  LPIPS {l:.4f}{extra}")

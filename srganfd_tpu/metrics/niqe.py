@@ -17,11 +17,11 @@ hot loop); images are BGR [0,255] HWC like the reference's numpy API.
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 from scipy import ndimage
 from scipy.special import gamma as gamma_fn
-
-from srganfd_tpu.ops.resize import matlab_resize_plan
 
 __all__ = ["niqe", "fit_niqe_model", "load_niqe_model", "save_niqe_model", "NiqeModel"]
 
@@ -40,17 +40,26 @@ class NiqeModel:
 def _estimate_aggd(vec: np.ndarray) -> tuple[float, float, float]:
     """Asymmetric generalized Gaussian fit -> (alpha, beta_l, beta_r)
     (moment matching over the gamma grid, as the reference
-    ``_estimate_aggd_parameters``)."""
+    ``_estimate_aggd_parameters``, ``image_quality_assessment.py``).
+
+    Degenerate blocks (flat / one-signed MSCN, common in real CFD frames
+    with empty background) must reproduce the reference's *NaN
+    arithmetic* bit-for-bit: empty-slice means and 0/0 divisions yield
+    NaN, ``argmin`` over an all-NaN distance grid picks index 0 (alpha =
+    0.2), and NaN betas propagate into the feature row, which nanmean /
+    the NaN-row-dropping covariance then discard — guarding these with
+    finite fallbacks shifts full-image scores by several percent
+    (pinned by tests/test_realdata.py on real frames)."""
     vec = vec.flatten()
-    left = vec[vec < 0]
-    right = vec[vec > 0]
-    left_std = np.sqrt(np.mean(left**2)) if left.size else 0.0
-    right_std = np.sqrt(np.mean(right**2)) if right.size else 0.0
-    gammahat = left_std / right_std if right_std > 0 else np.inf
-    rhat = (np.mean(np.abs(vec)) ** 2) / np.mean(vec**2) if np.mean(vec**2) > 0 else 0.0
-    rhatnorm = (rhat * (gammahat**3 + 1) * (gammahat + 1)) / ((gammahat**2 + 1) ** 2)
-    idx = int(np.argmin((_R_GAM - rhatnorm) ** 2))
-    alpha = _GAMMA_GRID[idx]
+    with np.errstate(all="ignore"), warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        left_std = np.sqrt(np.mean(vec[vec < 0] ** 2))
+        right_std = np.sqrt(np.mean(vec[vec > 0] ** 2))
+        gammahat = left_std / right_std
+        rhat = (np.mean(np.abs(vec)) ** 2) / np.mean(vec**2)
+        rhatnorm = (rhat * (gammahat**3 + 1) * (gammahat + 1)) / ((gammahat**2 + 1) ** 2)
+        idx = int(np.argmin((_R_GAM - rhatnorm) ** 2))
+        alpha = _GAMMA_GRID[idx]
     beta_l = left_std * np.sqrt(gamma_fn(1.0 / alpha) / gamma_fn(3.0 / alpha))
     beta_r = right_std * np.sqrt(gamma_fn(1.0 / alpha) / gamma_fn(3.0 / alpha))
     return float(alpha), float(beta_l), float(beta_r)
@@ -86,15 +95,87 @@ def _block_features(mscn: np.ndarray) -> np.ndarray:
     return np.asarray(feats, np.float64)
 
 
+def _half_resize_plan_f32(in_length: int) -> tuple[np.ndarray, np.ndarray, int, int]:
+    """float32 twin of the reference's ``_calculate_weights_indices``
+    (``ESRGAN/imgproc.py:53-128``) for scale=0.5 antialiased bicubic.
+    Bit-equal weights vs torch (verified): torch.linspace & friends
+    default to float32, so the plan must be computed in float32 too."""
+    scale = np.float32(0.5)
+    kernel_width = 8.0  # 4 / 0.5 (antialiasing widens the kernel)
+    out_length = -(-in_length // 2)
+    x = np.linspace(1, out_length, out_length, dtype=np.float32)
+    u = x / scale + np.float32(0.5 * (1 - 1 / 0.5))
+    left = np.floor(u - np.float32(kernel_width / 2))
+    p = int(np.ceil(kernel_width)) + 2
+    indices = left[:, None] + np.linspace(0, p - 1, p, dtype=np.float32)[None, :]
+    dist = (u[:, None] - indices).astype(np.float32)
+    absx = np.abs(dist * scale)
+    absx2, absx3 = absx**2, absx**3
+    w = scale * (
+        (1.5 * absx3 - 2.5 * absx2 + 1) * (absx <= 1).astype(np.float32)
+        + (-0.5 * absx3 + 2.5 * absx2 - 4 * absx + 2)
+        * ((absx > 1) & (absx <= 2)).astype(np.float32)
+    )
+    w = (w / w.sum(axis=1, dtype=np.float32)[:, None]).astype(np.float32)
+    zero = (w == 0).sum(axis=0)
+    if zero[0] != 0:
+        indices, w = indices[:, 1 : p - 1], w[:, 1 : p - 1]
+    if zero[-1] != 0:
+        indices, w = indices[:, 0 : p - 2], w[:, 0 : p - 2]
+    sym_s = int(-indices.min() + 1)
+    sym_e = int(indices.max() - in_length)
+    return w, (indices + sym_s - 1).astype(np.int64), sym_s, sym_e
+
+
 def _matlab_downscale_half(image: np.ndarray) -> np.ndarray:
-    """MATLAB-faithful bicubic half-downscale (the reference uses its
-    torch imresize for this, ``image_quality_assessment.py:1059-1135``)."""
+    """The reference NIQE's exact half-downscale: ``image_resize(y/255,
+    0.5, antialiasing=True) * 255`` computed in float32
+    (``ESRGAN/imgproc.py:131-216`` builds torch.FloatTensor buffers).
+
+    Bit-exactness matters here: NIQE's scale-2 features fit AGGDs whose
+    degenerate-block NaN pattern (flat CFD backgrounds) flips on 1-ulp
+    input differences, shifting full-image scores by percents. When
+    torch is importable the two separable passes run through the same
+    ``mv`` kernels the reference uses (bit-identical end to end, pinned
+    by tests/test_realdata.py); the numpy float32 fallback agrees to
+    ~2e-7 (gemv accumulation order)."""
     h, w = image.shape
-    wh, ih = matlab_resize_plan(h, -(-h // 2), True, 0.5)
-    ww, iw = matlab_resize_plan(w, -(-w // 2), True, 0.5)
-    rows = (image[ih] * wh[:, :, None]).sum(axis=1)
-    cols = (rows[:, iw] * ww[None, :, :]).sum(axis=2)
-    return cols
+    x = (image / 255.0).astype(np.float32)
+    wh, ih, shs, she = _half_resize_plan_f32(h)
+    ww, iw, sws, swe = _half_resize_plan_f32(w)
+    aug = np.concatenate([x[shs - 1 :: -1, :], x, x[: h - she - 1 : -1, :]], axis=0)
+    kh, kw2 = wh.shape[1], ww.shape[1]
+    try:
+        import torch
+    except ImportError:
+        torch = None
+    if torch is not None:
+        taug = torch.from_numpy(aug)
+        twh, tww = torch.from_numpy(wh), torch.from_numpy(ww)
+        out1 = torch.empty(len(ih), aug.shape[1])
+        for i in range(len(ih)):
+            out1[i] = taug[ih[i, 0] : ih[i, 0] + kh, :].transpose(0, 1).mv(twh[i])
+        o1 = out1.numpy()
+        aug2 = np.concatenate([o1[:, sws - 1 :: -1], o1, o1[:, : w - swe - 1 : -1]], axis=1)
+        taug2 = torch.from_numpy(aug2)
+        out2 = torch.empty(len(iw), out1.shape[0])
+        for i in range(len(iw)):
+            out2[i] = taug2[:, iw[i, 0] : iw[i, 0] + kw2].mv(tww[i])
+        half = out2.numpy().T
+    else:
+        o1 = np.stack(
+            [aug[i0 : i0 + kh, :].T @ wh[i] for i, i0 in enumerate(ih[:, 0])]
+        ).astype(np.float32)
+        aug2 = np.concatenate([o1[:, sws - 1 :: -1], o1, o1[:, : w - swe - 1 : -1]], axis=1)
+        half = np.stack(
+            [aug2[:, i0 : i0 + kw2] @ ww[i] for i, i0 in enumerate(iw[:, 0])], axis=1
+        ).astype(np.float32)
+    # The reference's ``image_resize(image/255., ...) * 255.`` stays
+    # FLOAT32 under NEP-50 promotion (f32 array * python float), so the
+    # whole scale-2 feature path (scipy convolve preserves input dtype,
+    # numpy means accumulate in f32) runs in float32 — returning f64
+    # here shifts degenerate-block NaN patterns on real frames.
+    return half * np.float32(255.0)
 
 
 def _image_features(y: np.ndarray, block_h: int = 96, block_w: int = 96) -> np.ndarray:
