@@ -224,6 +224,30 @@ def _run_train_body(
         (cfg.batch_size, lr_size, lr_size, 3),
         (cfg.batch_size, cfg.gt_image_size, cfg.gt_image_size, 3),
     )
+    # pretrained initialization BEFORE resume (reference order,
+    # BSRGAN/train_bsrgan.py:60-92): name+shape-filtered graft of a prior
+    # run's generator/discriminator — the bsrnet -> bsrgan workflow. A
+    # full-state --resume below still overrides everything.
+    if cfg.pretrained_g_model_weights_path:
+        loaded = ckpt.load_pretrained_params(cfg.pretrained_g_model_weights_path, "g_params")
+        g_new, n_ok, n_all = ckpt.merge_by_path(state.g_params, loaded)
+        # EMA restarts as a copy of the loaded generator, like the
+        # reference's AveragedModel built after the pretrained load
+        state = state.replace(
+            g_params=g_new, ema_g_params=jax.tree_util.tree_map(jnp.copy, g_new)
+        )
+        print(
+            f"loaded pretrained G ({n_ok}/{n_all} tensors) from "
+            f"{cfg.pretrained_g_model_weights_path}"
+        )
+    if cfg.pretrained_d_model_weights_path and state.d_params is not None:
+        loaded = ckpt.load_pretrained_params(cfg.pretrained_d_model_weights_path, "d_params")
+        d_new, n_ok, n_all = ckpt.merge_by_path(state.d_params, loaded)
+        state = state.replace(d_params=d_new)
+        print(
+            f"loaded pretrained D ({n_ok}/{n_all} tensors) from "
+            f"{cfg.pretrained_d_model_weights_path}"
+        )
     start_epoch = 0
     start_step = 0
     resume_best: dict = {}
@@ -644,6 +668,18 @@ def main() -> None:
         help="write snapshots on a background thread (step loop pays only the device->host copy)",
     )
     ap.add_argument("--d-arch", default=None, help="override discriminator arch (e.g. discriminator_attention_unet_ms)")
+    ap.add_argument(
+        "--pretrained-g",
+        default=None,
+        help="initialize the generator from a prior checkpoint (Orbax dir "
+        "or ported .npz), name+shape-filtered — the bsrnet->bsrgan "
+        "workflow (train_bsrgan.py:77-84); EMA restarts from it",
+    )
+    ap.add_argument(
+        "--pretrained-d",
+        default=None,
+        help="initialize the discriminator likewise (train_bsrgan.py:60-68)",
+    )
     ap.add_argument("--gt-size", type=int, default=None, help="override gt_image_size (and disable pre-crop)")
     ap.add_argument(
         "--debug-nans",
@@ -673,6 +709,10 @@ def main() -> None:
         overrides["crop_image_size"] = 0
     if args.grad_accum:
         overrides["grad_accum_steps"] = args.grad_accum
+    if args.pretrained_g:
+        overrides["pretrained_g_model_weights_path"] = args.pretrained_g
+    if args.pretrained_d:
+        overrides["pretrained_d_model_weights_path"] = args.pretrained_d
     if args.skip_nonfinite:
         overrides["skip_nonfinite_updates"] = True
     if args.debug_nans:

@@ -143,13 +143,9 @@ def _resize_half(torch, t):
     ``:697`` is a tautology) and casts back afterwards."""
     dtype = t.dtype
     x = t.reshape(-1, 1, t.size(-2), t.size(-1)).float()
-    x = _resize_1d_cached(torch, x)
-    return x.reshape(*t.shape[:-2], x.size(-2), x.size(-1)).to(dtype)
-
-
-def _resize_1d_cached(torch, x):
     x = _resize_half_1d(torch, x, -2)
-    return _resize_half_1d(torch, x, -1)
+    x = _resize_half_1d(torch, x, -1)
+    return x.reshape(*t.shape[:-2], x.size(-2), x.size(-1)).to(dtype)
 
 
 def niqe_torch_exact(image, model, crop_border: int = 0, block: int = 96) -> float:

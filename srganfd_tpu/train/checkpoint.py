@@ -303,3 +303,52 @@ def restore_into(current: Any, loaded: Any) -> Any:
         for c, n in zip(flat_cur, flat_new)
     ]
     return jax.tree_util.tree_unflatten(treedef, merged)
+
+
+def merge_by_path(current: Any, loaded: Any) -> tuple[Any, int, int]:
+    """Name-and-shape-filtered merge — the reference's ``load_state_dict``
+    in "pretrained" mode (``ESRGAN/utils.py:68-77``: keep checkpoint
+    entries whose KEY exists in the model with the SAME shape, drop the
+    rest). Unlike :func:`restore_into` this tolerates checkpoints with a
+    different tree structure (extra/missing modules).
+
+    Returns ``(merged, n_loaded, n_total)``."""
+    flat_new = {
+        jax.tree_util.keystr(kp): v
+        for kp, v in jax.tree_util.tree_flatten_with_path(loaded)[0]
+    }
+    flat_cur, treedef = jax.tree_util.tree_flatten_with_path(current)
+    merged, n_loaded = [], 0
+    for kp, cur in flat_cur:
+        new = flat_new.get(jax.tree_util.keystr(kp))
+        if new is not None and getattr(new, "shape", None) == getattr(cur, "shape", None):
+            merged.append(new)
+            n_loaded += 1
+        else:
+            merged.append(cur)
+    return jax.tree_util.tree_unflatten(treedef, merged), n_loaded, len(flat_cur)
+
+
+def load_pretrained_params(path: str, key: str = "g_params") -> Any:
+    """Load a params pytree for pretrained initialization (the reference's
+    ``pretrained_g/d_model_weights_path``, ``BSRGAN/train_bsrgan.py:60-86``).
+
+    Accepts this framework's Orbax checkpoints (``key`` selects
+    ``g_params``/``ema_g_params``/``d_params`` from the saved state) or a
+    flat ``.npz`` in the ``tools/port_torch_weights.py`` layout
+    ('/'-joined key paths) — i.e. a ported reference ``.pth.tar``."""
+    if path.endswith(".npz"):
+        flat = np.load(path)
+        tree: dict = {}
+        for k in flat.files:
+            node = tree
+            parts = k.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = flat[k]
+        return tree
+    payload = load_checkpoint(path)
+    state = payload["state"]
+    if key not in state or state[key] is None:
+        raise KeyError(f"checkpoint {path} has no '{key}'")
+    return state[key]

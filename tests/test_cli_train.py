@@ -400,3 +400,92 @@ def test_resume_auto_picks_newest_snapshot(data_dirs, tmp_path, monkeypatch):
     cfg2 = cfg.replace(epochs=2)
     out2 = run_train(cfg2, steps_per_epoch=2, resume="auto")
     assert np.isfinite(out2["best_psnr"])
+
+
+def test_pretrained_g_init_grafts_weights(data_dirs, tmp_path, monkeypatch):
+    """The bsrnet->bsrgan workflow (BSRGAN/train_bsrgan.py:60-92):
+    pretrained_g_model_weights_path grafts a prior run's generator
+    (name+shape-filtered) and the EMA restarts from it."""
+    import jax
+    import jax.numpy as jnp
+
+    from srganfd_tpu.train import checkpoint as ckpt_mod
+
+    train_dir, valid_dir = data_dirs
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("SRGANFD_NATIVE_LOADER", "0")
+    tiny_g = {"channels": 8, "growth_channels": 4, "num_rrdb": 1}
+    base = dict(
+        train_gt_images_dir=train_dir,
+        valid_gt_images_dir=valid_dir,
+        epochs=1,
+        batch_size=2,
+        gt_image_size=32,
+        crop_image_size=48,
+        compute_dtype="float32",
+        content_weight=(),
+        g_kwargs=tiny_g,
+        d_kwargs={"channels": 8},
+    )
+    pre = run_train(get_config("bsrnet", **base), steps_per_epoch=1)
+    pre_ckpt = str(tmp_path / "results" / "BSRNet_x2" / "ckpt_last")
+    pre_g = ckpt_mod.load_pretrained_params(pre_ckpt, "g_params")
+
+    # zero LRs: after one GAN step the params must still equal the graft
+    cfg = get_config(
+        "bsrgan",
+        **base,
+        pretrained_g_model_weights_path=pre_ckpt,
+        model_lr=0.0,
+        discriminator_lr=0.0,
+        model_ema_decay=1.0,
+    )
+    out = run_train(cfg, steps_per_epoch=1)
+    got = jax.tree_util.tree_map(np.asarray, out["state"].g_params)
+    jax.tree_util.tree_all(
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            got,
+            pre_g,
+        )
+    )
+    # EMA restarted from the pretrained weights (decay 1.0 freezes it)
+    ema = jax.tree_util.tree_map(np.asarray, out["state"].ema_g_params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        ema,
+        pre_g,
+    )
+
+
+def test_merge_by_path_filters_by_name_and_shape():
+    """merge_by_path keeps only name+shape matches (utils.py:68-77) and
+    tolerates structure mismatches that break positional zipping."""
+    import numpy as _np
+
+    from srganfd_tpu.train.checkpoint import merge_by_path
+
+    cur = {"a": {"w": _np.zeros((2, 2)), "b": _np.zeros(3)}, "c": _np.zeros(4)}
+    loaded = {
+        "a": {"w": _np.ones((2, 2)), "b": _np.ones(5)},  # b: shape mismatch
+        "extra": _np.ones(7),  # not in the model
+    }
+    merged, n_ok, n_all = merge_by_path(cur, loaded)
+    assert (n_ok, n_all) == (1, 3)
+    assert (merged["a"]["w"] == 1).all()
+    assert (merged["a"]["b"] == 0).all()
+    assert (merged["c"] == 0).all()
+
+
+def test_load_pretrained_params_npz(tmp_path):
+    """Ported reference .pth.tar weights arrive as a flat npz
+    (tools/port_torch_weights layout); the loader rebuilds the pytree."""
+    import numpy as _np
+
+    from srganfd_tpu.train.checkpoint import load_pretrained_params
+
+    flat = {"conv1/kernel": _np.ones((3, 3, 3, 8)), "trunk/rdb/conv1/bias": _np.zeros(8)}
+    _np.savez(tmp_path / "g.npz", **flat)
+    tree = load_pretrained_params(str(tmp_path / "g.npz"))
+    assert tree["conv1"]["kernel"].shape == (3, 3, 3, 8)
+    assert tree["trunk"]["rdb"]["conv1"]["bias"].shape == (8,)
