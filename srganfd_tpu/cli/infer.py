@@ -158,7 +158,9 @@ def main() -> None:
     ap.add_argument(
         "--spatial-shard",
         action="store_true",
-        help="shard the image's H axis over all devices with ICI halo exchange",
+        help="shard the image's H axis over all devices with ICI halo "
+        "exchange; transformer archs (bsrgantrans) switch their bottleneck "
+        "to ring attention so tokens still attend to the whole frame",
     )
     ap.add_argument(
         "--half",
@@ -287,16 +289,30 @@ def main() -> None:
         )
         return
     if args.spatial_shard:
+        from srganfd_tpu.models.registry import arch_accepts
         from srganfd_tpu.parallel import make_mesh
         from srganfd_tpu.parallel.spatial import spatial_sharded_sr
 
         upscale = apply_fn(params, jnp.zeros((1, 8, 8, 3))).shape[1] // 8
         mesh = make_mesh()
 
+        halo, row_multiple, shard_model = args.tile_overlap, 1, model
+        if arch_accepts(args.arch, "ring_axis"):
+            # transformer bottleneck: per-shard attention would only see
+            # local tokens — rebuild with ring attention over the mesh so
+            # every token attends to the WHOLE frame exactly (cp); halo
+            # must be even for the stride-2 token grid
+            halo += halo % 2
+            row_multiple = 2
+            shard_model = create_model(
+                args.arch, ring_axis="data", ring_halo=halo, **kwargs
+            )
+
         def run_one(im):
             return spatial_sharded_sr(
-                lambda p, z: model.apply({"params": p}, z),
-                params, im, upscale, mesh, halo=args.tile_overlap,
+                lambda p, z: shard_model.apply({"params": p}, z),
+                params, im, upscale, mesh, halo=halo,
+                row_multiple=row_multiple,
             )
 
         sr = _maybe_ensemble(run_one, img, args.self_ensemble)

@@ -115,12 +115,25 @@ class ServingEngine:
         # mesh with ICI halo exchange (parallel/spatial.py) — the serving
         # analog of `infer --spatial-shard`; mutually exclusive with tile
         self.spatial_mesh = None
+        self._spatial_row_multiple = 1
+        self._spatial_halo = self.tile_overlap
+        self._spatial_model = self.model
         if spatial_shard:
             if self.tile:
                 raise ValueError("--spatial-shard and --tile are mutually exclusive")
             from srganfd_tpu.parallel import make_mesh
 
             self.spatial_mesh = make_mesh()
+            if arch_accepts(arch, "ring_axis"):
+                # transformer bottleneck: run the attention as ring
+                # attention over the mesh so sharded serving stays exact
+                # (cp; parallel/ring_attention.py)
+                self._spatial_halo += self._spatial_halo % 2
+                self._spatial_row_multiple = 2
+                self._spatial_model = create_model(
+                    arch, ring_axis="data", ring_halo=self._spatial_halo,
+                    **kwargs,
+                )
         self._apply = jax.jit(lambda p, z: self.model.apply({"params": p}, z))
 
         probe = jnp.zeros((1, 16, 16, 3), jnp.float32)
@@ -151,8 +164,10 @@ class ServingEngine:
             from srganfd_tpu.parallel.spatial import spatial_sharded_sr
 
             run_one = lambda im: spatial_sharded_sr(
-                self._apply, self.params, im, self.upscale,
-                self.spatial_mesh, halo=self.tile_overlap,
+                lambda p, z: self._spatial_model.apply({"params": p}, z),
+                self.params, im, self.upscale,
+                self.spatial_mesh, halo=self._spatial_halo,
+                row_multiple=self._spatial_row_multiple,
             )
             if self.self_ensemble:
                 from srganfd_tpu.ops.self_ensemble import self_ensemble

@@ -548,7 +548,14 @@ class TokenSelfAttention(nn.Module):
 
 class TransformerEncoderLayer(nn.Module):
     """torch ``nn.TransformerEncoderLayer`` defaults: post-LN, MHA, ReLU
-    MLP with dim_feedforward=2048, dropout 0.1 (off when deterministic)."""
+    MLP with dim_feedforward=2048, dropout 0.1 (off when deterministic).
+
+    ``ring_axis``: run the attention as ring attention over that mesh
+    axis (context parallelism — the token axis is sharded across devices
+    and K/V blocks rotate via ppermute; ``parallel/ring_attention.py``).
+    ``kv_valid`` then masks which local tokens this shard contributes as
+    keys (halo duplicates off). Only meaningful inside ``shard_map``.
+    """
 
     d_model: int
     nhead: int
@@ -556,20 +563,30 @@ class TransformerEncoderLayer(nn.Module):
     dropout_rate: float = 0.1
     dtype: Any = jnp.float32
     attn_chunk: int = 0  # >0: exact chunked attention (large-input mode)
+    ring_axis: str | None = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        deterministic: bool = True,
+        kv_valid: jax.Array | None = None,
+    ) -> jax.Array:
+        if self.ring_axis is not None:
+            from srganfd_tpu.parallel.ring_attention import ring_attention_fn
+
+            attention_fn = ring_attention_fn(self.ring_axis, kv_valid)
+        elif self.attn_chunk:
+            attention_fn = chunked_attention_fn(self.attn_chunk)
+        else:
+            attention_fn = nn.dot_product_attention
         attn = nn.MultiHeadDotProductAttention(
             num_heads=self.nhead,
             qkv_features=self.d_model,
             dtype=self.dtype,
             param_dtype=jnp.float32,
             deterministic=True,
-            attention_fn=(
-                chunked_attention_fn(self.attn_chunk)
-                if self.attn_chunk
-                else nn.dot_product_attention
-            ),
+            attention_fn=attention_fn,
         )(x, x)
         attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
         x = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)(x + attn)

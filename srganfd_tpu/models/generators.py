@@ -134,7 +134,17 @@ class BSRGANtrans(nn.Module):
     x2 upsample back, then the BSRGAN head. O((HW/4)^2) attention by
     default — keep crops small, as the reference does — or set
     ``attn_chunk`` > 0 for exact chunked attention with O(chunk*HW/4)
-    score memory (large-frame inference the reference cannot do)."""
+    score memory (large-frame inference the reference cannot do).
+
+    ``ring_axis``/``ring_halo``: context-parallel serving — when the
+    frame's H axis is sharded over a mesh axis with halo rows
+    (``parallel/spatial.py``), the bottleneck attention runs as RING
+    attention over that axis so every token still attends to the whole
+    frame exactly (K/V blocks rotate over ICI); halo-derived tokens
+    (``ring_halo``//2 feature rows each side after the stride-2
+    downsample) are masked from the key set, since their exact copies are
+    a neighbor shard's interior tokens. ``ring_halo`` must be even and
+    the per-shard row count even."""
 
     in_channels: int = 3
     out_channels: int = 3
@@ -148,6 +158,8 @@ class BSRGANtrans(nn.Module):
     superpixel: bool = False
     rdb_fused: bool = True
     attn_chunk: int = 0
+    ring_axis: str | None = None  # context parallelism (see docstring)
+    ring_halo: int = 0
     quant: bool = False  # int8 PTQ trunk (serving only; ops/quant.py)
 
     @nn.compact
@@ -169,10 +181,16 @@ class BSRGANtrans(nn.Module):
         out = lrelu(Conv(self.channels, stride=2, scaled_init=True, dtype=self.dtype)(out))
         n, h2, w2, c = out.shape
         tokens = out.reshape(n, h2 * w2, c)
+        kv_valid = None
+        if self.ring_axis is not None:
+            hf = self.ring_halo // 2  # halo rows in the stride-2 token grid
+            row = jnp.arange(h2 * w2) // w2
+            kv_valid = (row >= hf) & (row < h2 - hf)
         for _ in range(2):
             tokens = TransformerEncoderLayer(
-                c, 4, dtype=self.dtype, attn_chunk=self.attn_chunk
-            )(tokens, deterministic)
+                c, 4, dtype=self.dtype, attn_chunk=self.attn_chunk,
+                ring_axis=self.ring_axis,
+            )(tokens, deterministic, kv_valid=kv_valid)
         out = tokens.reshape(n, h2, w2, c)
         out = lrelu(conv(self.channels)(upsample_nearest(out, 2)))
 

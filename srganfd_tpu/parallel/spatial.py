@@ -62,15 +62,20 @@ def spatial_sharded_sr(
     mesh: Mesh,
     halo: int = 16,
     axis: str = "data",
+    row_multiple: int = 1,
 ) -> np.ndarray:
     """SR one large HWC [0,1] image with its H axis sharded over ``axis``.
 
     ``apply_fn(params, (1, h, w, 3)) -> (1, h*sf, w*sf, 3)`` is the
     jitted generator. Returns the HWC SR image on the host.
+
+    ``row_multiple``: pad so each shard's row count is a multiple of this
+    (ring-attention transformer archs need even per-shard rows for their
+    stride-2 token grid).
     """
     n_dev = mesh.shape[axis]
     h, w, c = image.shape
-    pad_h = (-h) % n_dev
+    pad_h = (-h) % (n_dev * row_multiple)
     if pad_h:
         image = np.pad(image, ((0, pad_h), (0, 0), (0, 0)), mode="reflect")
     sf = upscale_factor

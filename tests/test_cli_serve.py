@@ -212,3 +212,30 @@ def test_spatial_shard_engine_matches_plain(engine):
 
     with _pytest.raises(ValueError, match="mutually exclusive"):
         ServingEngine("rrdbnet_x4", model_kwargs=TINY, tile=32, spatial_shard=True)
+
+
+def test_spatial_shard_trans_engine_uses_ring_attention():
+    """bsrgantrans under --spatial-shard: the engine rebuilds the model
+    with ring attention (context parallelism) so the transformer
+    bottleneck still attends to the WHOLE frame across shards; the
+    sharded output tracks the single-device engine."""
+    tiny = {"channels": 8, "growth_channels": 4, "num_rrdb": 1}
+    plain = ServingEngine("bsrgantrans_x2", model_kwargs=tiny, bucket=16)
+    sharded = ServingEngine(
+        "bsrgantrans_x2", model_kwargs=tiny, bucket=16,
+        spatial_shard=True, tile_overlap=4,
+    )
+    assert sharded._spatial_model.ring_axis == "data"
+    assert sharded._spatial_row_multiple == 2
+    sharded.params = plain.params
+    # vertical gradient: shard-local attention would visibly diverge
+    rng = np.random.default_rng(5)
+    img = (
+        np.linspace(0, 1, 64, dtype=np.float32)[:, None, None]
+        * np.ones((64, 16, 3), np.float32)
+        + 0.1 * rng.uniform(size=(64, 16, 3)).astype(np.float32)
+    ).clip(0, 1)
+    a = plain.sr_array(img)
+    b = sharded.sr_array(img)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a[8:-8], b[8:-8], atol=2e-3)
