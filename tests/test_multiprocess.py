@@ -1,0 +1,93 @@
+"""True multi-process data parallelism: 2 jax.distributed processes x 4
+virtual CPU devices, Gloo cross-process collectives.
+
+Until now the multi-host path was validated single-process only (virtual
+8-device mesh). This test launches two REAL processes through the
+production entry points — ``maybe_init_distributed`` (env triple),
+``global_batch_from_host`` (per-host shard assembly), the jitted GAN
+train step — and pins the result against the same two steps computed by
+the same worker single-process on an 8-device mesh (identical numeric
+environment): only the cross-process psum's fp reduction order may
+separate them.
+"""
+
+import json
+import os
+import pathlib
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+WORKER = REPO / "tests" / "mp_worker.py"
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _worker_env(local_devices: int) -> dict:
+    env = dict(os.environ)
+    env.pop("JAX_COORDINATOR_ADDRESS", None)
+    env.update(
+        PALLAS_AXON_POOL_IPS="",
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS=f"--xla_force_host_platform_device_count={local_devices}",
+        PYTHONPATH=str(REPO),
+    )
+    return env
+
+
+def _parse(proc: subprocess.Popen, out: str) -> dict:
+    assert proc.returncode == 0, out[-3000:]
+    lines = [ln for ln in out.splitlines() if ln.startswith("RESULT ")]
+    assert lines, out[-3000:]
+    return json.loads(lines[-1][len("RESULT "):])
+
+
+def test_two_process_gan_step_matches_single_process():
+    # reference: the same worker, one process, 8 local devices
+    ref_proc = subprocess.Popen(
+        [sys.executable, str(WORKER), "unused", "0", "1"],
+        env=_worker_env(8), cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    ref = _parse(ref_proc, ref_proc.communicate(timeout=900)[0])
+
+    addr = f"127.0.0.1:{_free_port()}"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(WORKER), addr, str(i), "2"],
+            env=_worker_env(4), cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    results = {}
+    for p, out in zip(procs, outs):
+        r = _parse(p, out)
+        results[r["proc"]] = r
+
+    assert set(results) == {0, 1}
+    # both processes observe the same replicated state
+    for key in ("g_loss", "d_loss", "checksum"):
+        np.testing.assert_allclose(
+            results[0][key], results[1][key], rtol=1e-5, err_msg=key
+        )
+    # step-1 losses come from identical params + global batch: only the
+    # cross-process (Gloo) vs in-process psum fp order separates them
+    for key in ("g_loss", "d_loss"):
+        np.testing.assert_allclose(
+            results[0][key], ref[key], rtol=1e-4, err_msg=f"{key} vs reference"
+        )
+    # the checksum has been through two optimizer updates, which amplify
+    # that fp-order noise through the GAN dynamics
+    np.testing.assert_allclose(
+        results[0]["checksum"], ref["checksum"], rtol=1e-3,
+        err_msg="checksum vs reference",
+    )
