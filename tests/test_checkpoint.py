@@ -183,3 +183,50 @@ def test_async_writer_last_save_wins_and_errors_surface(trained_state, tmp_path)
     with pytest.raises(RuntimeError, match="async checkpoint write failed"):
         w.wait()
     w.close()  # error already consumed; close is clean
+
+
+def test_mesh_elastic_restore(eight_devices, tmp_path):
+    """Checkpoints are mesh-elastic: a snapshot taken from state living on
+    an 8-device mesh (replicated params, sharded batches) restores
+    bit-identically into runs on a DIFFERENT device count (4-device mesh
+    and single device) and training continues there — preemptible jobs
+    may come back on a different slice shape."""
+    from srganfd_tpu.parallel import make_mesh, replicated_sharding, shard_batch
+
+    cfg = get_config("bsrgan").replace(
+        compute_dtype="float32",
+        g_kwargs={"channels": 8, "growth_channels": 4, "num_rrdb": 1},
+        content_weight=(),
+        gt_image_size=16,
+    )
+    tr = Trainer(cfg, steps_per_epoch=4)
+    gt = np.random.default_rng(0).uniform(size=(8, 16, 16, 3)).astype(np.float32)
+    lr = gt[:, ::2, ::2, :]
+
+    mesh8 = make_mesh(devices=eight_devices)
+    state = tr.init_state(jax.random.PRNGKey(0), lr.shape, gt.shape)
+    state = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, replicated_sharding(mesh8)), state
+    )
+    b8 = shard_batch({"gt": gt, "lr": lr}, mesh8)
+    state, _ = tr.train_step(state, b8["gt"], b8["lr"])
+    assert len(jax.tree_util.tree_leaves(state.g_params)[0].sharding.device_set) == 8
+    ckpt.save_checkpoint(str(tmp_path), state, epoch=0, best_metrics={}, is_best=False)
+
+    saved = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda x: np.asarray(x), state.g_params)
+    )
+
+    for devs in (eight_devices[:4], eight_devices[:1]):
+        mesh = make_mesh(devices=devs)
+        payload = ckpt.load_checkpoint(str(tmp_path / "ckpt_last"), template=state)
+        restored = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, replicated_sharding(mesh)), payload["state"]
+        )
+        for a, b in zip(jax.tree_util.tree_leaves(restored.g_params), saved):
+            np.testing.assert_array_equal(np.asarray(a), b)
+        bn = shard_batch({"gt": gt, "lr": lr}, mesh)
+        cont, metrics = tr.train_step(restored, bn["gt"], bn["lr"])
+        assert np.isfinite(float(metrics["g_loss"]))
+        leaf = jax.tree_util.tree_leaves(cont.g_params)[0]
+        assert len(leaf.sharding.device_set) == len(devs)
