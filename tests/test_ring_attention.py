@@ -143,3 +143,32 @@ def test_bsrgantrans_spatial_ring_serving(eight_devices):
     err_local = np.abs(got_local[b:-b] - ref[b:-b]).max()
     assert err_ring < 2e-3, err_ring
     assert err_local > 10 * err_ring, (err_local, err_ring)
+
+
+def test_ring_attention_gradients_match_full(eight_devices):
+    # cp is trainable: grads through the ppermute ring (scan transpose
+    # reverses the rotation) match full-attention grads
+    mesh = make_mesh(devices=eight_devices)
+    rng = np.random.default_rng(4)
+    n, t, h, d = 1, 32, 2, 8
+    q, k, v = (rng.normal(size=(n, t, h, d)).astype(np.float32) for _ in range(3))
+    cot = rng.normal(size=(n, t, h, d)).astype(np.float32)
+
+    def loss_full(q, k, v):
+        return jnp.sum(_full_attention(q, k, v) * cot)
+
+    gref = jax.grad(loss_full, argnums=(0, 1, 2))(q, k, v)
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(P(None, "data"),) * 4,
+        out_specs=P(None, "data"), check_vma=False,
+    )
+    def ring_out(q, k, v, c):
+        return ring_attention(q, k, v, "data") * c
+
+    def loss_ring(q, k, v):
+        return jnp.sum(ring_out(q, k, v, cot))
+
+    gring = jax.jit(jax.grad(loss_ring, argnums=(0, 1, 2)))(q, k, v)
+    for a, b in zip(gring, gref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
