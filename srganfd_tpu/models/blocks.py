@@ -35,9 +35,13 @@ def lrelu(x: jax.Array) -> jax.Array:
 
 # B[ty, dy, ky] = 1 iff ty == dy + ky: maps a 3x3 tap (ky) of output
 # pixel dy in a 2x2 block onto tap ty of the 4x4 super-pixel kernel.
-_S2D_TAPS = jnp.asarray(
-    np.fromfunction(lambda t, d, k: t == d + k, (4, 2, 3)), jnp.float32
-)
+# numpy (not jnp) on purpose: a device array at import initializes the XLA
+# backend, which breaks jax.distributed.initialize for multi-process
+# programs importing this package first; it becomes a traced-in constant
+# with identical numerics.
+_S2D_TAPS = np.fromfunction(
+    lambda t, d, k: t == d + k, (4, 2, 3)
+).astype(np.float32)
 
 
 def conv3x3_superpixel(x: jax.Array, w: jax.Array) -> jax.Array:

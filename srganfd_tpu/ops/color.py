@@ -13,6 +13,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Metrics-grade op: always full f32 matmul (TPU would otherwise default the
 # 3x3 channel matmul to bf16, costing ~1e-3 absolute error in PSNR inputs).
@@ -28,22 +29,26 @@ __all__ = [
 ]
 
 # MATLAB rgb2ycbcr constants: Y/Cb/Cr = M @ rgb*255 + [16, 128, 128].
-_RGB2YCBCR = jnp.array(
+# numpy (not jnp) on purpose: creating device arrays at import initializes
+# the XLA backend, which breaks jax.distributed.initialize for any
+# multi-process program that imports this package first; numpy constants
+# become on-device constants at trace time with identical numerics.
+_RGB2YCBCR = np.array(
     [[65.481, -37.797, 112.0],
      [128.553, -74.203, -93.786],
      [24.966, 112.0, -18.214]],
-    dtype=jnp.float32,
+    dtype=np.float32,
 )
-_YCBCR_BIAS = jnp.array([16.0, 128.0, 128.0], dtype=jnp.float32)
+_YCBCR_BIAS = np.array([16.0, 128.0, 128.0], dtype=np.float32)
 
 # MATLAB ycbcr2rgb: rgb = (ycbcr*255) @ Minv * 255 + bias, then /255.
-_YCBCR2RGB = jnp.array(
+_YCBCR2RGB = np.array(
     [[0.00456621, 0.00456621, 0.00456621],
      [0.0, -0.00153632, 0.00791071],
      [0.00625893, -0.00318811, 0.0]],
-    dtype=jnp.float32,
+    dtype=np.float32,
 )
-_RGB_BIAS = jnp.array([-222.921, 135.576, -276.836], dtype=jnp.float32)
+_RGB_BIAS = np.array([-222.921, 135.576, -276.836], dtype=np.float32)
 
 
 def rgb_to_ycbcr(image: jax.Array, only_use_y_channel: bool = False) -> jax.Array:

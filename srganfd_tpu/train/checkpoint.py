@@ -34,6 +34,30 @@ def _to_host(tree: Any) -> Any:
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+def _checkpointer() -> ocp.StandardCheckpointer:
+    """An Orbax checkpointer scoped to THIS process.
+
+    The training loop gates snapshot writes to process 0 (the payload is
+    already host-resident numpy — fully replicated state), but Orbax's
+    default ``Checkpointer`` issues cross-process sync barriers whenever
+    ``jax.process_count() > 1``; with the other processes never calling
+    ``save``, process 0 would deadlock on the barrier until the
+    coordination service times out. Restricting ``active_processes`` to
+    the caller keeps the barriers process-local (the per-process
+    ``barrier_sync_key_prefix`` prevents key collisions if several
+    processes restore the same path concurrently)."""
+    if jax.process_count() > 1:
+        idx = jax.process_index()
+        return ocp.StandardCheckpointer(
+            multiprocessing_options=ocp.options.MultiprocessingOptions(
+                primary_host=idx,
+                active_processes={idx},
+                barrier_sync_key_prefix=f"p{idx}",
+            )
+        )
+    return ocp.StandardCheckpointer()
+
+
 def save_checkpoint(
     directory: str,
     state: Any,
@@ -71,7 +95,7 @@ def _write_snapshot(
     Orbax write plus the crash-safe staging/rename swap."""
     os.makedirs(directory, exist_ok=True)
     _sweep_incomplete(directory)
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _checkpointer()
     targets = [os.path.join(directory, f"{name}_last")]
     if is_best:
         targets.append(os.path.join(directory, f"{name}_best"))
@@ -186,7 +210,7 @@ def load_checkpoint(path: str, template: Any | None = None) -> dict[str, Any]:
     """Restore a checkpoint payload; with ``template`` the state pytree is
     restored with matching structure/dtypes (shape-filtered subsets like
     the reference's ``load_state_dict`` are handled by ``restore_into``)."""
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _checkpointer()
     if template is not None:
         payload = ckptr.restore(os.path.abspath(path), {"state": _to_host(template)})
     else:

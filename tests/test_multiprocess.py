@@ -91,3 +91,48 @@ def test_two_process_gan_step_matches_single_process():
         results[0]["checksum"], ref["checksum"], rtol=1e-3,
         err_msg="checksum vs reference",
     )
+
+
+def test_two_process_run_train_cli(tmp_path):
+    """The PRODUCTION training path under 2 real jax.distributed
+    processes: run_train with per-process dataset sharding,
+    global_batch_from_host batch assembly, process-0-only checkpoint and
+    tracker writes — one epoch end-to-end, checkpoints on disk."""
+    import cv2
+
+    rng = np.random.default_rng(0)
+    train_dir, valid_dir = tmp_path / "train", tmp_path / "valid"
+    for d, n in ((train_dir, 8), (valid_dir, 2)):
+        d.mkdir()
+        for i in range(n):
+            base = rng.uniform(0, 1, (12, 12, 3))
+            img = cv2.resize(base, (48, 48), interpolation=cv2.INTER_CUBIC)
+            cv2.imwrite(str(d / f"im{i}.png"), (np.clip(img, 0, 1) * 255).astype(np.uint8))
+    work = tmp_path / "work"
+    work.mkdir()
+
+    addr = f"127.0.0.1:{_free_port()}"
+    worker = REPO / "tests" / "mp_train_worker.py"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), addr, str(i), str(train_dir),
+             str(valid_dir), str(work)],
+            env=_worker_env(4), cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    results = {}
+    for p, out in zip(procs, outs):
+        r = _parse(p, out)
+        results[r["proc"]] = r
+    assert set(results) == {0, 1}
+    for r in results.values():
+        assert np.isfinite(r["best_psnr"]) and r["best_psnr"] > 0
+
+    ckpt_dir = work / "results" / "BSRGAN_x2"
+    assert (ckpt_dir / "ckpt_last").exists()
+    assert (ckpt_dir / "ckpt_last.meta.json").exists()
+    logs = list((work / "samples" / "logs").rglob("events.jsonl"))
+    assert logs and os.path.getsize(logs[0]) > 0
