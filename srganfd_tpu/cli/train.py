@@ -432,8 +432,29 @@ def _run_train_body(
         if writer is not None:
             writer.wait()
 
+    # multi-process preemption must be COORDINATED: the train step is a
+    # collective (psum grad sync), so a SIGTERM delivered to one process
+    # only would otherwise make it exit mid-epoch while its peers hang in
+    # the next step's collective (and, with is_main elsewhere, no preempt
+    # checkpoint would be written at all). Every process polls the max of
+    # all local flags at the same loop points — a symmetric, one-poll-
+    # delayed collective (FlagConsensus) that never stalls the dispatch
+    # pipeline — so any subset receiving the signal preempts the cluster.
+    multi = jax.process_count() > 1
+    if multi:
+        from srganfd_tpu.parallel import FlagConsensus
+
+        _consensus = FlagConsensus()
+
+        def _preempt_signum() -> int:
+            return _consensus.poll(_PREEMPT["signum"])
+    else:
+        def _preempt_signum() -> int:
+            return _PREEMPT["signum"]
+
     def _preempt_exit_if_requested():
-        if not _PREEMPT["signum"]:
+        sig = _preempt_signum()
+        if not sig:
             return
         # K-step buffers must be applied before snapshotting: the fused
         # path groups steps by degradation branch, so without a flush the
@@ -447,7 +468,11 @@ def _run_train_body(
                           name="ckpt_preempt", step=global_step)
             flush_snapshots()  # about to exit: the snapshot must be on disk
             print("preemption checkpoint written; exiting", flush=True)
-        raise SystemExit(128 + _PREEMPT["signum"])
+        if multi:
+            # peers must not reach the jax.distributed shutdown barrier
+            # (and its timeout) while process 0 is still writing
+            _consensus.barrier("srganfd:preempt_exit")
+        raise SystemExit(128 + sig)
 
     # re-assert the OS-level handler without clearing a pending request:
     # library inits during setup (TF via the tracker, XLA) can install
@@ -590,8 +615,9 @@ def _run_train_body(
             cfg, trainer, state.g_params, valid_loader, valid_adapter, lpips_fn=lpips_fn,
             should_stop=lambda: bool(_PREEMPT["signum"]), mesh=mesh if dp else None,
         )
-        if _PREEMPT["signum"]:
-            _preempt_exit_if_requested()
+        # unconditional (not flag-guarded): under multi-process the check
+        # itself is a collective, so every process must reach it
+        _preempt_exit_if_requested()
         psnr, ssim = vm["psnr"], vm["ssim"]
         epoch_metrics = {"Valid/PSNR": psnr, "Valid/SSIM": ssim, "epoch": epoch}
         lpips_str = ""

@@ -3,6 +3,7 @@
 the shardings declared here; there is no hand-written NCCL/MPI analog."""
 
 from srganfd_tpu.parallel.mesh import (  # noqa: F401
+    FlagConsensus,
     make_hybrid_mesh,
     make_mesh,
     maybe_init_distributed,

@@ -23,6 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = [
     "make_mesh", "make_hybrid_mesh", "batch_sharding", "replicated_sharding",
     "shard_batch", "global_batch_from_host", "maybe_init_distributed",
+    "FlagConsensus",
 ]
 
 
@@ -149,6 +150,56 @@ def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
     """device_put a pytree of host arrays with the batch axis sharded."""
     sharding = batch_sharding(mesh, axis)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
+class FlagConsensus:
+    """Cluster-wide max of a per-process int flag, polled without stalling
+    the dispatch pipeline.
+
+    Failure-coordination primitive for multi-process training: a SIGTERM
+    (preemption notice) may reach only a subset of processes, but the
+    train step is a collective — a process exiting unilaterally leaves
+    its peers hanging in the next psum. ``poll(flag)`` is therefore a
+    symmetric collective every process calls at the same loop points; it
+    dispatches one tiny all-device ``max`` and returns the result of the
+    *previous* poll (0 on the first). The one-poll delay means the hot
+    loop never host-syncs on a fresh collective result — reading last
+    poll's scalar only waits for work already ordered before the current
+    step, preserving the async dispatch pipeline. The reference has no
+    analog (single pinned GPU, SURVEY.md §0).
+    """
+
+    def __init__(self, devices: list[Any] | None = None) -> None:
+        import jax.numpy as jnp
+
+        devices = devices if devices is not None else jax.devices()
+        self._mesh = Mesh(np.asarray(devices), ("all",))
+        self._sharded = NamedSharding(self._mesh, P("all"))
+        self._max = jax.jit(
+            jnp.max, out_shardings=NamedSharding(self._mesh, P())
+        )
+        self._pending: Any | None = None
+
+    def poll(self, flag: int) -> int:
+        """Contribute ``flag``; return the consensus (max) of the previous
+        round. Collective: every process must call at the same points."""
+        local = [
+            jax.device_put(np.asarray([flag], np.int32), d)
+            for d in self._mesh.local_devices
+        ]
+        garr = jax.make_array_from_single_device_arrays(
+            (len(self._mesh.devices.ravel()),), self._sharded, local
+        )
+        prev, self._pending = self._pending, self._max(garr)
+        return int(prev) if prev is not None else 0
+
+    def barrier(self, name: str = "srganfd:flag_barrier") -> None:
+        """Block until every process reaches this point (exit paths: a
+        peer must not hit the jax.distributed shutdown-barrier timeout
+        while another is still writing a checkpoint)."""
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
 
 
 def global_batch_from_host(batch: Any, mesh: Mesh, axis: str = "data") -> Any:

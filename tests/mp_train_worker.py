@@ -4,7 +4,7 @@
 process-0-only tracker/checkpoint writes).
 
 Invoked as:
-    python mp_train_worker.py <addr> <proc> <train_dir> <valid_dir> <workdir>
+    python mp_train_worker.py <addr> <proc> <train_dir> <valid_dir> <workdir> [steps]
 (env must force the CPU platform with 4 local devices BEFORE jax import.)
 """
 
@@ -15,6 +15,7 @@ import sys
 
 def main() -> None:
     addr, proc, train_dir, valid_dir, workdir = sys.argv[1:6]
+    steps = int(sys.argv[6]) if len(sys.argv) > 6 else 2
     os.environ["JAX_COORDINATOR_ADDRESS"] = addr
     os.environ["JAX_PROCESS_ID"] = proc
     os.environ["JAX_NUM_PROCESSES"] = "2"
@@ -36,7 +37,7 @@ def main() -> None:
         g_kwargs={"channels": 8, "growth_channels": 4, "num_rrdb": 1},
         content_weight=(),
     )
-    out = run_train(cfg, steps_per_epoch=2)
+    out = run_train(cfg, steps_per_epoch=steps)
     print(
         "RESULT "
         + json.dumps({"proc": int(proc), "best_psnr": float(out["best_psnr"])}),

@@ -136,3 +136,77 @@ def test_two_process_run_train_cli(tmp_path):
     assert (ckpt_dir / "ckpt_last.meta.json").exists()
     logs = list((work / "samples" / "logs").rglob("events.jsonl"))
     assert logs and os.path.getsize(logs[0]) > 0
+
+
+def test_sigterm_one_process_preempts_both(tmp_path):
+    """Coordinated preemption: a SIGTERM delivered to only ONE of two
+    jax.distributed processes must preempt BOTH — the un-signaled process
+    would otherwise hang in the next train step's psum waiting for the
+    exited peer. FlagConsensus propagates the flag; both exit 143 and the
+    main process writes ckpt_preempt."""
+    import cv2
+    import signal
+    import threading
+    import time
+
+    rng = np.random.default_rng(0)
+    train_dir, valid_dir = tmp_path / "train", tmp_path / "valid"
+    for d, n in ((train_dir, 8), (valid_dir, 2)):
+        d.mkdir()
+        for i in range(n):
+            base = rng.uniform(0, 1, (12, 12, 3))
+            img = cv2.resize(base, (48, 48), interpolation=cv2.INTER_CUBIC)
+            cv2.imwrite(str(d / f"im{i}.png"), (np.clip(img, 0, 1) * 255).astype(np.uint8))
+    work = tmp_path / "work"
+    work.mkdir()
+
+    addr = f"127.0.0.1:{_free_port()}"
+    worker = REPO / "tests" / "mp_train_worker.py"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), addr, str(i), str(train_dir),
+             str(valid_dir), str(work), "2000"],
+            env=_worker_env(4), cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    bufs = [[], []]
+
+    def _reader(p, buf):
+        for line in p.stdout:
+            buf.append(line)
+
+    threads = [
+        threading.Thread(target=_reader, args=(p, b), daemon=True)
+        for p, b in zip(procs, bufs)
+    ]
+    for t in threads:
+        t.start()
+
+    # wait for the step loop to be running on process 0 (the progress
+    # meter prints at step 0, right after the first jitted step returns)
+    deadline = time.time() + 600
+    while time.time() < deadline:
+        if any("Epoch[0][" in ln for ln in bufs[0]):
+            break
+        for p in procs:
+            assert p.poll() is None, "".join(bufs[0] + bufs[1])[-3000:]
+        time.sleep(0.5)
+    else:
+        raise AssertionError("step loop never started:\n" + "".join(bufs[0])[-3000:])
+
+    # signal ONLY the non-main process: the flag must travel to process 0
+    # through the consensus collective, not through the OS
+    procs[1].send_signal(signal.SIGTERM)
+    for p, t in zip(procs, threads):
+        p.wait(timeout=600)
+        t.join(timeout=60)
+
+    out0, out1 = "".join(bufs[0]), "".join(bufs[1])
+    assert procs[0].returncode == 143, out0[-3000:]
+    assert procs[1].returncode == 143, out1[-3000:]
+    assert "preemption checkpoint written" in out0, out0[-3000:]
+    ckpt_dir = work / "results" / "BSRGAN_x2"
+    assert (ckpt_dir / "ckpt_preempt_last").exists()
+    assert (ckpt_dir / "ckpt_preempt_last.meta.json").exists()
