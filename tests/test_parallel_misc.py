@@ -118,3 +118,27 @@ def test_maybe_init_distributed_noop(monkeypatch):
     monkeypatch.delenv("SRGANFD_DISTRIBUTED", raising=False)
     monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
     assert maybe_init_distributed() is False
+
+
+def test_flag_consensus_one_poll_delay(eight_devices):
+    """FlagConsensus contract: each poll returns the consensus (max) of
+    the PREVIOUS round — the delay that keeps the hot loop from
+    host-syncing on a fresh collective. Single-process: the max spans
+    the local 8-device mesh, so a raised flag must appear exactly one
+    poll later and stay visible while raised."""
+    from srganfd_tpu.parallel import FlagConsensus
+
+    c = FlagConsensus()
+    assert c.poll(0) == 0  # first poll: nothing pending
+    assert c.poll(15) == 0  # flag raised now, visible next poll
+    assert c.poll(15) == 15
+    assert c.poll(0) == 15  # last raised round still draining
+    assert c.poll(0) == 0
+
+
+def test_flag_consensus_barrier_single_process(eight_devices):
+    """barrier() must be callable (and a no-op) in a single process so
+    the preempt exit path needs no process-count branching at call sites."""
+    from srganfd_tpu.parallel import FlagConsensus
+
+    FlagConsensus().barrier("srganfd:test_barrier")
