@@ -21,6 +21,8 @@ import numpy as np
 import pytest
 
 torch = pytest.importorskip("torch")
+import torch.nn as nn  # noqa: E402
+import torch.nn.functional as F  # noqa: E402
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
@@ -28,7 +30,7 @@ import jax.numpy as jnp  # noqa: E402
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent / "tools"))
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 import port_torch_weights as port  # noqa: E402
-from test_generator_arch_parity import _TorchRRDBNetX4  # noqa: E402
+from test_generator_arch_parity import _TorchRRDB, _TorchRRDBNetX4  # noqa: E402
 
 from srganfd_tpu.configs import get_config  # noqa: E402
 from srganfd_tpu.train.loop import Trainer  # noqa: E402
@@ -115,3 +117,220 @@ def test_rrdbnet_pretrain_lockstep_with_reference_trainer():
         float(np.max(np.abs(got[n] - init_flat[n]))) for n in sorted(want)
     )
     assert moved > 1e-4, f"suspiciously small update {moved}"
+
+
+class _TorchBSRGANX2(nn.Module):
+    """Reference BSRGAN x2 topology + naming (``BSRGAN/model.py:311-384``:
+    RRDBNet where upsampling1 always runs and upsampling2 only at x4)."""
+
+    def __init__(self, ch=8, gc=4, nb=1):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, ch, 3, 1, 1)
+        self.trunk = nn.Sequential(*[_TorchRRDB(ch, gc) for _ in range(nb)])
+        self.conv2 = nn.Conv2d(ch, ch, 3, 1, 1)
+        self.upsampling1 = nn.Sequential(nn.Conv2d(ch, ch, 3, 1, 1), nn.LeakyReLU(0.2))
+        self.conv3 = nn.Sequential(nn.Conv2d(ch, ch, 3, 1, 1), nn.LeakyReLU(0.2))
+        self.conv4 = nn.Conv2d(ch, 3, 3, 1, 1)
+
+    def forward(self, x):
+        out1 = self.conv1(x)
+        out = out1 + self.conv2(self.trunk(out1))
+        out = self.upsampling1(F.interpolate(out, scale_factor=2, mode="nearest"))
+        return torch.clamp(self.conv4(self.conv3(out)), 0.0, 1.0)
+
+
+class _TorchUNetD(nn.Module):
+    """Reference U-Net SN discriminator topology + naming
+    (``Real_ESRGAN/model.py:29-105`` == ``BSRGAN/model.py:91-167``):
+    3 spectral-norm /2 down blocks, bilinear-up + SN-conv with skip adds,
+    two SN convs, per-pixel logit conv."""
+
+    def __init__(self, c=8):
+        super().__init__()
+        sn = torch.nn.utils.spectral_norm
+        blk = lambda ci, co, k, s: nn.Sequential(
+            sn(nn.Conv2d(ci, co, k, s, 1, bias=False)), nn.LeakyReLU(0.2)
+        )
+        self.conv1 = nn.Conv2d(3, c, 3, 1, 1)
+        self.down_block1 = blk(c, c * 2, 4, 2)
+        self.down_block2 = blk(c * 2, c * 4, 4, 2)
+        self.down_block3 = blk(c * 4, c * 8, 4, 2)
+        self.up_block1 = blk(c * 8, c * 4, 3, 1)
+        self.up_block2 = blk(c * 4, c * 2, 3, 1)
+        self.up_block3 = blk(c * 2, c, 3, 1)
+        self.conv2 = blk(c, c, 3, 1)
+        self.conv3 = blk(c, c, 3, 1)
+        self.conv4 = nn.Conv2d(c, 1, 3, 1, 1)
+
+    def forward(self, x):
+        up = lambda t: F.interpolate(
+            t, scale_factor=2, mode="bilinear", align_corners=False
+        )
+        out1 = self.conv1(x)
+        down1 = self.down_block1(out1)
+        down2 = self.down_block2(down1)
+        down3 = self.down_block3(down2)
+        up1 = self.up_block1(up(down3)) + down2
+        up2 = self.up_block2(up(up1)) + down1
+        up3 = self.up_block3(up(up2)) + out1
+        return self.conv4(self.conv3(self.conv2(up3)))
+
+
+_SN_SOURCES = [  # converter order == our SNConv_{i} auto-numbering
+    "down_block1.0", "down_block2.0", "down_block3.0",
+    "up_block1.0", "up_block2.0", "up_block3.0", "conv2.0", "conv3.0",
+]
+
+
+def _spectral_u_tree(d: nn.Module) -> dict:
+    """torch spectral_norm's stored left-singular estimates -> our
+    ``spectral`` variable collection (SNConv keeps one ``u`` per conv).
+    The ``.copy()`` is load-bearing: ``.numpy()`` shares memory with the
+    live buffer and CPU jax can alias numpy arrays zero-copy, so without
+    it torch's in-place power iterations would mutate the injected
+    'initial' u."""
+    sd = d.state_dict()
+    return {
+        f"SNConv_{i}": {"u": jnp.asarray(sd[f"{src}.weight_u"].numpy().copy())}
+        for i, src in enumerate(_SN_SOURCES)
+    }
+
+
+def _snapshot_sn_buffers(d: nn.Module) -> dict:
+    return {
+        k: v.detach().clone()
+        for k, v in d.state_dict().items()
+        if k.endswith(("weight_u", "weight_v"))
+    }
+
+
+def _restore_sn_buffers(d: nn.Module, snap: dict) -> None:
+    sd = d.state_dict()
+    with torch.no_grad():
+        for k, v in snap.items():
+            sd[k].copy_(v)
+
+
+def test_bsrgan_gan_lockstep_with_reference_trainer():
+    """Full GAN-step lockstep vs the reference update rule
+    (``BSRGAN/train_bsrgan.py:387-471``): D-first ordering (d(gt) BCE real
+    + d(sr.detach) BCE fake -> Adam), then the G update whose adversarial
+    term sees the NEW discriminator, one generator forward per step,
+    spectral-norm power iterations advancing exactly as the reference's
+    (twice per D step; the G-pass iteration computes sigma but is not
+    persisted — our documented PARITY deviation, reproduced torch-side by
+    restoring the u/v buffers around the G pass), plus the EMA lerp.
+    Content loss is dropped on BOTH sides: the reference's multi-node
+    content term is graph-detached (``BSRGAN/model.py:552``) and so
+    contributes no gradient anyway (SURVEY §2.10)."""
+    torch.manual_seed(0)
+    g_t = _TorchBSRGANX2(ch=8, gc=4, nb=1)
+    d_t = _TorchUNetD(c=8)
+    # .copy() everywhere a torch state dict feeds jax: .numpy() shares
+    # memory with the live parameter and opt.step()/power iterations
+    # mutate in place (CPU jax may alias numpy arrays zero-copy)
+    g_init = port.convert_rrdb_generator(
+        {k: v.detach().numpy().copy() for k, v in g_t.state_dict().items()}, num_blocks=1
+    )
+    d_init = port.convert_unet_discriminator(
+        {k: v.detach().numpy().copy() for k, v in d_t.state_dict().items()}
+    )
+
+    cfg = get_config(
+        "bsrgan",
+        compute_dtype="float32",
+        content_weight=(),
+        g_kwargs={"channels": 8, "growth_channels": 4, "num_rrdb": 1},
+        d_kwargs={"channels": 8},
+    )
+    pix_w, adv_w, ema_decay = cfg.pixel_weight[0], cfg.adversarial_weight[0], cfg.model_ema_decay
+
+    g_opt = torch.optim.Adam(
+        g_t.parameters(), lr=cfg.model_lr, betas=cfg.model_betas, eps=cfg.model_eps
+    )
+    d_opt = torch.optim.Adam(
+        d_t.parameters(), lr=cfg.discriminator_lr, betas=cfg.model_betas, eps=cfg.model_eps
+    )
+    crit = nn.BCEWithLogitsLoss()
+    l1 = nn.L1Loss()
+    ema_t = {k: v.detach().clone() for k, v in g_t.state_dict().items()}
+
+    tr = Trainer(cfg, steps_per_epoch=1000)
+    rng = np.random.default_rng(7)
+    gts = rng.uniform(size=(N_STEPS, BATCH, 16, 16, 3)).astype(np.float32)
+    lrs = gts[:, :, ::2, ::2, :]
+
+    state = tr.init_state(jax.random.PRNGKey(0), lrs.shape[1:], gts.shape[1:])
+    g_p = jax.tree_util.tree_map(jnp.asarray, g_init)
+    d_p = jax.tree_util.tree_map(jnp.asarray, d_init)
+    state = state.replace(
+        g_params=g_p,
+        g_opt_state=tr.g_tx.init(g_p),
+        ema_g_params=jax.tree_util.tree_map(jnp.copy, g_p),
+        d_params=d_p,
+        d_opt_state=tr.d_tx.init(d_p),
+        d_vars={"spectral": _spectral_u_tree(d_t)},
+    )
+
+    t_losses, j_losses = [], []
+    for i in range(N_STEPS):
+        gt = torch.from_numpy(np.moveaxis(gts[i], -1, 1))
+        lr = torch.from_numpy(np.moveaxis(lrs[i], -1, 1))
+        ones = torch.ones((BATCH, 1, 16, 16))
+        # --- reference D step: one G forward, two train-mode D forwards
+        sr = g_t(lr)
+        d_opt.zero_grad()
+        d_loss = crit(d_t(gt), ones) + crit(d_t(sr.detach()), torch.zeros_like(ones))
+        d_loss.backward()
+        d_opt.step()
+        # --- reference G step against the updated D; the reference would
+        # also persist this forward's power iteration — ours doesn't
+        # (PARITY deviation), so restore u/v around it for lockstep
+        g_opt.zero_grad()
+        snap = _snapshot_sn_buffers(d_t)
+        g_loss = pix_w * l1(sr, gt) + adv_w * crit(d_t(sr), ones)
+        _restore_sn_buffers(d_t, snap)
+        g_loss.backward()
+        g_opt.step()
+        with torch.no_grad():
+            for k, v in g_t.state_dict().items():
+                ema_t[k].mul_(ema_decay).add_(v, alpha=1.0 - ema_decay)
+        t_losses.append((float(d_loss.detach()), float(g_loss.detach())))
+
+        state, m = tr.train_step(state, jnp.asarray(gts[i]), jnp.asarray(lrs[i]))
+        j_losses.append((float(m["d_loss"]), float(m["g_loss"])))
+
+    np.testing.assert_allclose(j_losses, t_losses, rtol=3e-5, atol=3e-6)
+
+    for label, got_tree, want_sd in [
+        ("g", state.g_params, g_t.state_dict()),
+        ("ema_g", state.ema_g_params, ema_t),
+    ]:
+        want = _flat(port.convert_rrdb_generator(
+            {k: v.detach().numpy() for k, v in want_sd.items()}, num_blocks=1
+        ))
+        got = _flat(got_tree)
+        assert set(got) == set(want)
+        for name in sorted(want):
+            np.testing.assert_allclose(
+                got[name], want[name], rtol=5e-4, atol=5e-6,
+                err_msg=f"{label}/{name} diverged after {N_STEPS} GAN steps",
+            )
+    want_d = _flat(port.convert_unet_discriminator(
+        {k: v.detach().numpy() for k, v in d_t.state_dict().items()}
+    ))
+    got_d = _flat(state.d_params)
+    assert set(got_d) == set(want_d)
+    for name in sorted(want_d):
+        np.testing.assert_allclose(
+            got_d[name], want_d[name], rtol=5e-4, atol=5e-6,
+            err_msg=f"d/{name} diverged after {N_STEPS} GAN steps",
+        )
+    # the spectral-norm power iterates advanced in lockstep too
+    sd = d_t.state_dict()
+    for i, src in enumerate(_SN_SOURCES):
+        np.testing.assert_allclose(
+            np.asarray(state.d_vars["spectral"][f"SNConv_{i}"]["u"]),
+            sd[f"{src}.weight_u"].numpy(), rtol=1e-4, atol=1e-5,
+            err_msg=f"spectral u of {src} diverged",
+        )
