@@ -242,8 +242,17 @@ def _run_train_body(
         )
     if cfg.pretrained_d_model_weights_path and state.d_params is not None:
         loaded = ckpt.load_pretrained_params(cfg.pretrained_d_model_weights_path, "d_params")
+        # ported VGG-128 D checkpoints carry BN running stats alongside the
+        # params (tools/port_torch_weights.py convert_vgg_discriminator);
+        # graft them into the discriminator's mutable collection
+        bn_stats = loaded.pop("batch_stats", None) if isinstance(loaded, dict) else None
         d_new, n_ok, n_all = ckpt.merge_by_path(state.d_params, loaded)
-        state = state.replace(d_params=d_new)
+        d_vars = state.d_vars
+        if bn_stats and d_vars and "batch_stats" in d_vars:
+            merged_stats, s_ok, s_all = ckpt.merge_by_path(d_vars["batch_stats"], bn_stats)
+            d_vars = dict(d_vars, batch_stats=merged_stats)
+            n_ok, n_all = n_ok + s_ok, n_all + s_all
+        state = state.replace(d_params=d_new, d_vars=d_vars)
         print(
             f"loaded pretrained D ({n_ok}/{n_all} tensors) from "
             f"{cfg.pretrained_d_model_weights_path}"

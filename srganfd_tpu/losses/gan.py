@@ -18,9 +18,11 @@ __all__ = ["bce_with_logits", "relativistic_d_loss", "relativistic_g_loss"]
 
 def bce_with_logits(logits: jax.Array, targets: jax.Array) -> jax.Array:
     """Mean binary cross-entropy with logits (torch ``BCEWithLogitsLoss``
-    semantics, numerically stable form)."""
-    logits = logits.astype(jnp.float32)
-    targets = targets.astype(jnp.float32)
+    semantics, numerically stable form). Computes in at least f32 (bf16
+    logits are promoted; f64 under x64 stays f64 for parity tests)."""
+    dt = jnp.promote_types(logits.dtype, jnp.float32)
+    logits = logits.astype(dt)
+    targets = targets.astype(dt)
     loss = jnp.maximum(logits, 0.0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
     return jnp.mean(loss)
 

@@ -334,3 +334,202 @@ def test_bsrgan_gan_lockstep_with_reference_trainer():
             sd[f"{src}.weight_u"].numpy(), rtol=1e-4, atol=1e-5,
             err_msg=f"spectral u of {src} diverged",
         )
+
+
+class _TorchVGG128D(nn.Module):
+    """Reference ESRGAN VGG-style 128px discriminator topology + naming
+    (``ESRGAN/model.py:89-141``): a ``features`` Sequential of conv64 +
+    9 conv/BN/LeakyReLU stages down to 4x4, flatten (c-major), then a
+    ``classifier`` of Linear(512*4*4 -> 100 -> 1) scalar logit."""
+
+    STAGES = [  # (in, features, kernel, stride) after the first conv
+        (64, 64, 4, 2), (64, 128, 3, 1), (128, 128, 4, 2),
+        (128, 256, 3, 1), (256, 256, 4, 2), (256, 512, 3, 1),
+        (512, 512, 4, 2), (512, 512, 3, 1), (512, 512, 4, 2),
+    ]
+
+    def __init__(self):
+        super().__init__()
+        seq = [nn.Conv2d(3, 64, 3, 1, 1, bias=True), nn.LeakyReLU(0.2, True)]
+        for ci, co, k, s in self.STAGES:
+            seq += [
+                nn.Conv2d(ci, co, k, s, 1, bias=False),
+                nn.BatchNorm2d(co),
+                nn.LeakyReLU(0.2, True),
+            ]
+        self.features = nn.Sequential(*seq)
+        self.classifier = nn.Sequential(
+            nn.Linear(512 * 4 * 4, 100), nn.LeakyReLU(0.2, True), nn.Linear(100, 1)
+        )
+
+    def forward(self, x):
+        return self.classifier(torch.flatten(self.features(x), 1))
+
+
+def test_esrgan_relativistic_gan_lockstep_with_reference_trainer():
+    """ESRGAN-family lockstep vs the reference update rule
+    (``ESRGAN/train_esrgan.py:362-425``): G-FIRST ordering (G's
+    relativistic adversarial term sees the OLD discriminator), symmetric
+    relativistic BCE with half-weighted branches, BatchNorm D in train
+    mode, EMA decay 0.99998. Content loss dropped on both sides (its
+    gradient correctness is covered by tests/test_feature_arch_parity.py;
+    real VGG19 weights are environment-gated).
+
+    Two twin-construction notes. (1) BN running-stat CADENCE differs by
+    design — the reference advances running stats on all five D forwards
+    per step (incl. the G pass and its duplicated d(sr)), ours only on
+    the D update's two (PARITY.md item: stats never affect train-mode
+    forwards) — the torch twin applies exactly those two updates. (2) On
+    CPU torch, ``native_batch_norm`` records running_mean/var in the
+    autograd node, so the reference's literal multi-forward-then-backward
+    pattern trips the saved-tensor version counter (CUDA's kernel doesn't
+    save them); the twin therefore builds graphs with
+    ``track_running_stats=False`` (identical train-mode numerics — batch
+    stats either way) and applies the two real stat updates via no-grad
+    forwards on the pre-step weights. The reference's duplicated d(sr)
+    forward is also collapsed into one: same input and same parameters
+    make it output-identical, and summing the two loss branches gives the
+    same total derivative. Final batch_stats then pin ours too (up to
+    flax's biased vs torch's unbiased running-var convention, corrected
+    per layer below)."""
+    torch.manual_seed(0)
+    g_t = _TorchRRDBNetX4(ch=8, gc=4, nb=2)
+    d_t = _TorchVGG128D()
+    g_init = port.convert_rrdb_generator(
+        {k: v.detach().numpy().copy() for k, v in g_t.state_dict().items()}, num_blocks=2
+    )
+    d_init, d_stats = port.convert_vgg_discriminator(
+        {k: v.detach().numpy().copy() for k, v in d_t.state_dict().items()}
+    )
+
+    cfg = get_config(
+        "esrgan",
+        compute_dtype="float32",
+        content_weight=(),
+        g_kwargs={"channels": 8, "growth_channels": 4, "num_blocks": 2},
+    )
+    assert cfg.g_step_first and cfg.relativistic_gan
+    pix_w, adv_w, ema_decay = cfg.pixel_weight[0], cfg.adversarial_weight[0], cfg.model_ema_decay
+
+    g_opt = torch.optim.Adam(
+        g_t.parameters(), lr=cfg.model_lr, betas=cfg.model_betas, eps=cfg.model_eps
+    )
+    d_opt = torch.optim.Adam(
+        d_t.parameters(), lr=cfg.discriminator_lr or cfg.model_lr,
+        betas=cfg.model_betas, eps=cfg.model_eps,
+    )
+    crit = nn.BCEWithLogitsLoss()
+    l1 = nn.L1Loss()
+    ema_t = {k: v.detach().clone() for k, v in g_t.state_dict().items()}
+
+    tr = Trainer(cfg, steps_per_epoch=1000)
+    rng = np.random.default_rng(3)
+    gts = rng.uniform(size=(N_STEPS, BATCH, 128, 128, 3)).astype(np.float32)
+    lrs = gts[:, :, ::4, ::4, :]
+
+    state = tr.init_state(jax.random.PRNGKey(0), lrs.shape[1:], gts.shape[1:])
+    g_p = jax.tree_util.tree_map(jnp.asarray, g_init)
+    d_p = jax.tree_util.tree_map(jnp.asarray, d_init)
+    state = state.replace(
+        g_params=g_p,
+        g_opt_state=tr.g_tx.init(g_p),
+        ema_g_params=jax.tree_util.tree_map(jnp.copy, g_p),
+        d_params=d_p,
+        d_opt_state=tr.d_tx.init(d_p),
+        d_vars={"batch_stats": jax.tree_util.tree_map(jnp.asarray, d_stats)},
+    )
+
+    d_t.train()
+
+    def _track_stats(on: bool) -> None:
+        for m_ in d_t.modules():
+            if isinstance(m_, nn.BatchNorm2d):
+                m_.track_running_stats = on
+
+    ones = torch.ones((BATCH, 1))
+    zeros = torch.zeros((BATCH, 1))
+    t_losses, j_losses = [], []
+    for i in range(N_STEPS):
+        gt = torch.from_numpy(np.moveaxis(gts[i], -1, 1))
+        lr = torch.from_numpy(np.moveaxis(lrs[i], -1, 1))
+        _track_stats(False)  # graph forwards: batch-stat norm, no updates
+        # --- reference G step first (train-mode D)
+        sr = g_t(lr)
+        g_opt.zero_grad()
+        gt_out = d_t(gt)
+        sr_out = d_t(sr)
+        adv = adv_w * (
+            0.5 * crit(gt_out - sr_out.mean(), zeros)
+            + 0.5 * crit(sr_out - gt_out.mean(), ones)
+        )
+        g_loss = pix_w * l1(sr, gt) + adv
+        g_loss.backward()
+        g_opt.step()
+        with torch.no_grad():
+            for k, v in g_t.state_dict().items():
+                ema_t[k].mul_(ema_decay).add_(v, alpha=1.0 - ema_decay)
+        # --- reference D step (duplicate d(sr) forward collapsed, see
+        # docstring note 2)
+        d_opt.zero_grad()
+        gt_out = d_t(gt)
+        sr_out1 = d_t(sr.detach())
+        d_loss_gt = 0.5 * crit(gt_out - sr_out1.mean(), ones)
+        d_loss_sr = 0.5 * crit(sr_out1 - gt_out.mean(), zeros)
+        d_loss = d_loss_gt + d_loss_sr
+        d_loss.backward()
+        # the D update's two running-stat advances (pre-step weights),
+        # matching our d_update cadence
+        _track_stats(True)
+        with torch.no_grad():
+            d_t(gt)
+            d_t(sr.detach())
+        d_opt.step()
+        t_losses.append((float(g_loss.detach()), float(d_loss.detach())))
+
+        state, m = tr.train_step(state, jnp.asarray(gts[i]), jnp.asarray(lrs[i]))
+        j_losses.append((float(m["g_loss"]), float(m["d_loss"])))
+
+    np.testing.assert_allclose(j_losses, t_losses, rtol=5e-5, atol=5e-6)
+
+    for label, got_tree, want_sd, conv in [
+        ("g", state.g_params, g_t.state_dict(), None),
+        ("ema_g", state.ema_g_params, ema_t, None),
+    ]:
+        want = _flat(port.convert_rrdb_generator(
+            {k: v.detach().numpy() for k, v in want_sd.items()}, num_blocks=2
+        ))
+        got = _flat(got_tree)
+        assert set(got) == set(want)
+        for name in sorted(want):
+            np.testing.assert_allclose(
+                got[name], want[name], rtol=5e-4, atol=5e-6,
+                err_msg=f"{label}/{name} diverged after {N_STEPS} relativistic GAN steps",
+            )
+    want_d, want_stats = port.convert_vgg_discriminator(
+        {k: v.detach().numpy() for k, v in d_t.state_dict().items()}
+    )
+    got_d = _flat(state.d_params)
+    want_d = _flat(want_d)
+    assert set(got_d) == set(want_d)
+    for name in sorted(want_d):
+        np.testing.assert_allclose(
+            got_d[name], want_d[name], rtol=5e-4, atol=5e-6,
+            err_msg=f"d/{name} diverged after {N_STEPS} relativistic GAN steps",
+        )
+    # BN running stats: means identical; flax accumulates the BIASED batch
+    # variance where torch accumulates the unbiased one — correct by each
+    # layer's (n-1)/n with n = N*H*W at that stage
+    spatial = [64, 64, 32, 32, 16, 16, 8, 8, 4]
+    got_stats = state.d_vars["batch_stats"]
+    for i, s in enumerate(spatial):
+        n = BATCH * s * s
+        np.testing.assert_allclose(
+            np.asarray(got_stats[f"BatchNorm_{i}"]["mean"]),
+            want_stats[f"BatchNorm_{i}"]["mean"], rtol=5e-4, atol=1e-5,
+            err_msg=f"BatchNorm_{i} running mean diverged",
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_stats[f"BatchNorm_{i}"]["var"]),
+            want_stats[f"BatchNorm_{i}"]["var"] * (n - 1) / n, rtol=5e-4, atol=1e-5,
+            err_msg=f"BatchNorm_{i} running var diverged",
+        )

@@ -125,6 +125,43 @@ def convert_unet_discriminator(sd: dict[str, np.ndarray]) -> dict:
     return params
 
 
+def convert_vgg_discriminator(sd: dict[str, np.ndarray]) -> tuple[dict, dict]:
+    """Reference ESRGAN VGG-128 Discriminator naming (one ``features``
+    Sequential of conv/BN/LeakyReLU entries + a ``classifier`` of two
+    Linears, ``ESRGAN/model.py:89-141``) -> our ``DiscriminatorVGG128``
+    tree. Returns ``(params, batch_stats)`` — BN running stats are a
+    separate variable collection in Flax."""
+    conv_idx = [0, 2, 5, 8, 11, 14, 17, 20, 23, 26]
+    bn_idx = [3, 6, 9, 12, 15, 18, 21, 24, 27]
+    params: dict = {}
+    stats: dict = {}
+    for i, src in enumerate(conv_idx):
+        entry = {"kernel": _oihw_to_hwio(sd[f"features.{src}.weight"])}
+        if f"features.{src}.bias" in sd:
+            entry["bias"] = sd[f"features.{src}.bias"]
+        params[f"Conv_{i}"] = {"Conv_0": entry}
+    for i, src in enumerate(bn_idx):
+        params[f"BatchNorm_{i}"] = {
+            "scale": sd[f"features.{src}.weight"],
+            "bias": sd[f"features.{src}.bias"],
+        }
+        stats[f"BatchNorm_{i}"] = {
+            "mean": sd[f"features.{src}.running_mean"],
+            "var": sd[f"features.{src}.running_var"],
+        }
+    # our flatten matches torch's c-major order (the module transposes to
+    # NCHW before reshape), so Linear weights transpose directly
+    params["Dense_0"] = {
+        "kernel": np.ascontiguousarray(sd["classifier.0.weight"].T),
+        "bias": sd["classifier.0.bias"],
+    }
+    params["Dense_1"] = {
+        "kernel": np.ascontiguousarray(sd["classifier.2.weight"].T),
+        "bias": sd["classifier.2.bias"],
+    }
+    return params, stats
+
+
 def flatten(tree: dict, prefix: str = "") -> dict[str, np.ndarray]:
     flat = {}
     for k, v in tree.items():
@@ -188,6 +225,9 @@ def main() -> None:
         params = convert_rrdb_generator(sd, args.num_blocks)
     elif args.arch == "discriminator_unet":
         params = convert_unet_discriminator(sd)
+    elif args.arch == "discriminator":  # ESRGAN's VGG-128 D
+        params, stats = convert_vgg_discriminator(sd)
+        params = dict(params, **{"batch_stats": stats})
     else:
         raise SystemExit(f"no converter for arch {args.arch!r}")
     np.savez(args.out, **flatten(params))
