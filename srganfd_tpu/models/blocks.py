@@ -33,6 +33,16 @@ def lrelu(x: jax.Array) -> jax.Array:
     return nn.leaky_relu(x, negative_slope=0.2)
 
 
+def out_dtype(compute_dtype) -> Any:
+    """Model outputs are emitted in f32 (bf16 compute upcasts for losses/
+    metrics) — except under f64 lockstep-parity runs, where downcasting
+    would reintroduce exactly the roundoff the f64 run exists to remove:
+    a 4e-9 f32 rounding of the generator output measurably shifts the
+    discriminator's gradients ~1e6-fold through its LeakyReLU kinks
+    (tests/test_train_parity.py ESRGAN docstring)."""
+    return jnp.float64 if compute_dtype == jnp.float64 else jnp.float32
+
+
 # B[ty, dy, ky] = 1 iff ty == dy + ky: maps a 3x3 tap (ky) of output
 # pixel dy in a 2x2 block onto tap ty of the 4x4 super-pixel kernel.
 # numpy (not jnp) on purpose: a device array at import initializes the XLA

@@ -23,7 +23,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from srganfd_tpu.models.blocks import Conv, SNConv, TokenSelfAttention, lrelu
+from srganfd_tpu.models.blocks import Conv, SNConv, TokenSelfAttention, lrelu, out_dtype
 from srganfd_tpu.models.registry import register
 from srganfd_tpu.ops.resize import resize_bilinear
 
@@ -38,8 +38,11 @@ __all__ = [
 class DiscriminatorVGG128(nn.Module):
     """ESRGAN's VGG-style discriminator: 10 conv(+BN) stages 128^2 -> 4^2,
     then Linear(512*4*4 -> 100 -> 1) producing a scalar logit. Input crops
-    must be 128x128 (``ESRGAN/model.py:89-141``)."""
+    must be 128x128 (``ESRGAN/model.py:89-141``). ``channels`` scales the
+    reference's 64-base width (the 64/128/256/512 ladder is channels *
+    {1,2,4,8}); non-default widths are for tests/small hosts."""
 
+    channels: int = 64
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -55,18 +58,19 @@ class DiscriminatorVGG128(nn.Module):
                 param_dtype=jnp.float32,
             )(z)
 
-        x = lrelu(Conv(64, dtype=self.dtype)(x))
+        c = self.channels
+        x = lrelu(Conv(c, dtype=self.dtype)(x))
         # (features, kernel, stride): alternating k4/s2 downsample, k3/s1.
         stages = [
-            (64, 4, 2),
-            (128, 3, 1),
-            (128, 4, 2),
-            (256, 3, 1),
-            (256, 4, 2),
-            (512, 3, 1),
-            (512, 4, 2),
-            (512, 3, 1),
-            (512, 4, 2),
+            (c, 4, 2),
+            (c * 2, 3, 1),
+            (c * 2, 4, 2),
+            (c * 4, 3, 1),
+            (c * 4, 4, 2),
+            (c * 8, 3, 1),
+            (c * 8, 4, 2),
+            (c * 8, 3, 1),
+            (c * 8, 4, 2),
         ]
         for feats, k, s in stages:
             x = Conv(feats, kernel=k, stride=s, use_bias=False, dtype=self.dtype)(x)
@@ -76,7 +80,7 @@ class DiscriminatorVGG128(nn.Module):
         # conventions when porting checkpoints.
         x = x.transpose(0, 3, 1, 2).reshape(n, -1)
         x = lrelu(nn.Dense(100, dtype=self.dtype, param_dtype=jnp.float32)(x))
-        return nn.Dense(1, dtype=self.dtype, param_dtype=jnp.float32)(x).astype(jnp.float32)
+        return nn.Dense(1, dtype=self.dtype, param_dtype=jnp.float32)(x).astype(out_dtype(self.dtype))
 
 
 class DiscriminatorUNet(nn.Module):
@@ -109,7 +113,7 @@ class DiscriminatorUNet(nn.Module):
 
         out = lrelu(sn(c, 3, 1)(up3, train))
         out = lrelu(sn(c, 3, 1)(out, train))
-        return Conv(self.out_channels, dtype=self.dtype)(out).astype(jnp.float32)
+        return Conv(self.out_channels, dtype=self.dtype)(out).astype(out_dtype(self.dtype))
 
 
 class DiscriminatorUNetSA(nn.Module):
@@ -149,7 +153,7 @@ class DiscriminatorUNetSA(nn.Module):
 
         out = lrelu(sn(c, 3, 1)(up3, train))
         out = lrelu(sn(c, 3, 1)(out, train))
-        out = Conv(self.out_channels, dtype=self.dtype)(out).astype(jnp.float32)
+        out = Conv(self.out_channels, dtype=self.dtype)(out).astype(out_dtype(self.dtype))
         return out, attn_map_up1
 
 
@@ -242,7 +246,7 @@ class AttentionUNetDiscriminator(nn.Module):
 
         y = lrelu(sn(f, 3, 1, 1)(y, train))
         y = lrelu(sn(f, 3, 1, 1)(y, train))
-        out = Conv(1, dtype=self.dtype)(y).astype(jnp.float32)
+        out = Conv(1, dtype=self.dtype)(y).astype(out_dtype(self.dtype))
         return out, (ly1, ly2, ly3)
 
 

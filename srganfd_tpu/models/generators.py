@@ -29,6 +29,7 @@ from srganfd_tpu.models.blocks import (
     Conv,
     TransformerEncoderLayer,
     lrelu,
+    out_dtype,
     pixel_unshuffle,
     run_trunk,
 )
@@ -84,7 +85,7 @@ class RRDBNet(nn.Module):
             out = lrelu(conv(self.channels)(upsample_nearest(out, 2)))
         out = lrelu(conv(self.channels)(out))
         out = conv(self.out_channels)(out)
-        return jnp.clip(out, 0.0, 1.0).astype(jnp.float32)
+        return jnp.clip(out, 0.0, 1.0).astype(out_dtype(self.dtype))
 
 
 class BSRGAN(nn.Module):
@@ -124,7 +125,7 @@ class BSRGAN(nn.Module):
             out = lrelu(conv(self.channels)(upsample_nearest(out, 2)))
         out = lrelu(conv(self.channels)(out))
         out = conv(self.out_channels)(out)
-        return jnp.clip(out, 0.0, 1.0).astype(jnp.float32)
+        return jnp.clip(out, 0.0, 1.0).astype(out_dtype(self.dtype))
 
 
 class BSRGANtrans(nn.Module):
@@ -200,7 +201,7 @@ class BSRGANtrans(nn.Module):
             out = lrelu(conv(self.channels)(upsample_nearest(out, 2)))
         out = lrelu(conv(self.channels)(out))
         out = conv(self.out_channels)(out)
-        return jnp.clip(out, 0.0, 1.0).astype(jnp.float32)
+        return jnp.clip(out, 0.0, 1.0).astype(out_dtype(self.dtype))
 
 
 class RealESRGANNet(nn.Module):
@@ -243,7 +244,7 @@ class RealESRGANNet(nn.Module):
         out = lrelu(conv(self.channels)(upsample_nearest(out, 2)))
         out = lrelu(conv(self.channels)(out))
         out = conv(self.out_channels)(out)
-        return jnp.clip(out, 0.0, 1.0).astype(jnp.float32)
+        return jnp.clip(out, 0.0, 1.0).astype(out_dtype(self.dtype))
 
 
 class _RPABlock(nn.Module):
@@ -300,7 +301,7 @@ class GeneratorRPA(nn.Module):
         for _ in range(math.ceil(math.log2(self.scale))):
             z = _PAUpsample(self.num_feat, 2, self.dtype)(z)
         z = lrelu(Conv(self.num_feat // 2, dtype=self.dtype)(z))
-        return Conv(self.num_out_ch, dtype=self.dtype)(z).astype(jnp.float32)
+        return Conv(self.num_out_ch, dtype=self.dtype)(z).astype(out_dtype(self.dtype))
 
 
 class GeneratorRRDB(nn.Module):
@@ -329,7 +330,7 @@ class GeneratorRRDB(nn.Module):
         z = lrelu(conv(self.num_feat)(upsample_nearest(z, 2)))
         z = lrelu(conv(self.num_feat)(upsample_nearest(z, 2)))
         z = conv(self.num_out_ch)(lrelu(conv(self.num_feat)(z)))
-        return z.astype(jnp.float32)
+        return z.astype(out_dtype(self.dtype))
 
 
 # --- factories, reference-compatible names ---------------------------------

@@ -87,7 +87,12 @@ class Trainer:
         self, cfg: ExperimentConfig, steps_per_epoch: int = 1000, mesh: Any = None
     ) -> None:
         self.cfg = cfg
-        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        # float64 needs jax_enable_x64; it exists for lockstep parity tests
+        # (f64 shrinks cross-framework roundoff below Adam's sign-flip
+        # amplification threshold), never for TPU execution.
+        dtype = {"bfloat16": jnp.bfloat16, "float64": jnp.float64}.get(
+            cfg.compute_dtype, jnp.float32
+        )
         self.g_model = create_model(cfg.g_arch, dtype=dtype, **cfg.g_kwargs)
         # pipeline parallelism: a 'pipe' mesh axis stages the RRDB trunk's
         # depth (parallel/pipeline.py); every other axis layout leaves the

@@ -342,16 +342,15 @@ class _TorchVGG128D(nn.Module):
     9 conv/BN/LeakyReLU stages down to 4x4, flatten (c-major), then a
     ``classifier`` of Linear(512*4*4 -> 100 -> 1) scalar logit."""
 
-    STAGES = [  # (in, features, kernel, stride) after the first conv
-        (64, 64, 4, 2), (64, 128, 3, 1), (128, 128, 4, 2),
-        (128, 256, 3, 1), (256, 256, 4, 2), (256, 512, 3, 1),
-        (512, 512, 4, 2), (512, 512, 3, 1), (512, 512, 4, 2),
-    ]
-
-    def __init__(self):
+    def __init__(self, c=64):
         super().__init__()
-        seq = [nn.Conv2d(3, 64, 3, 1, 1, bias=True), nn.LeakyReLU(0.2, True)]
-        for ci, co, k, s in self.STAGES:
+        stages = [  # (in, features, kernel, stride) after the first conv
+            (c, c, 4, 2), (c, c * 2, 3, 1), (c * 2, c * 2, 4, 2),
+            (c * 2, c * 4, 3, 1), (c * 4, c * 4, 4, 2), (c * 4, c * 8, 3, 1),
+            (c * 8, c * 8, 4, 2), (c * 8, c * 8, 3, 1), (c * 8, c * 8, 4, 2),
+        ]
+        seq = [nn.Conv2d(3, c, 3, 1, 1, bias=True), nn.LeakyReLU(0.2, True)]
+        for ci, co, k, s in stages:
             seq += [
                 nn.Conv2d(ci, co, k, s, 1, bias=False),
                 nn.BatchNorm2d(co),
@@ -359,7 +358,7 @@ class _TorchVGG128D(nn.Module):
             ]
         self.features = nn.Sequential(*seq)
         self.classifier = nn.Sequential(
-            nn.Linear(512 * 4 * 4, 100), nn.LeakyReLU(0.2, True), nn.Linear(100, 1)
+            nn.Linear(c * 8 * 4 * 4, 100), nn.LeakyReLU(0.2, True), nn.Linear(100, 1)
         )
 
     def forward(self, x):
@@ -391,10 +390,22 @@ def test_esrgan_relativistic_gan_lockstep_with_reference_trainer():
     make it output-identical, and summing the two loss branches gives the
     same total derivative. Final batch_stats then pin ours too (up to
     flax's biased vs torch's unbiased running-var convention, corrected
-    per layer below)."""
+    per layer below).
+
+    Both sides run in FLOAT64 (conftest enables jax x64). In f32, Adam's
+    first steps are ~lr*sign(m/sqrt(v)) per parameter, so the ~1e-5
+    cross-framework conv roundoff flips the sign of near-zero gradient
+    components and produces +/-2*lr per-param divergence within one step
+    — numerical chaos, not an update-rule mismatch (measured: f32 grads
+    agree to 1e-5 abs / ~1% worst-case rel at init, yet params differ by
+    exactly lr=1e-4 after step 1, at any D width). f64 pushes the
+    roundoff to ~1e-13, far below any plausible sign-flip threshold, so
+    this lockstep genuinely tests the update rule; tolerances are
+    correspondingly tight (a real rule mismatch shows up at the 1e-4
+    update scale, 5 orders above the bar)."""
     torch.manual_seed(0)
-    g_t = _TorchRRDBNetX4(ch=8, gc=4, nb=2)
-    d_t = _TorchVGG128D()
+    g_t = _TorchRRDBNetX4(ch=8, gc=4, nb=2).double()
+    d_t = _TorchVGG128D(c=8).double()
     g_init = port.convert_rrdb_generator(
         {k: v.detach().numpy().copy() for k, v in g_t.state_dict().items()}, num_blocks=2
     )
@@ -402,11 +413,22 @@ def test_esrgan_relativistic_gan_lockstep_with_reference_trainer():
         {k: v.detach().numpy().copy() for k, v in d_t.state_dict().items()}
     )
 
+    # epochs=100 keeps the MultiStepLR milestones genuinely epochs away
+    # (the twin trains at constant base lr). The esrgan config's default
+    # epochs=1 floors every fractional milestone (0.125..0.75) to epoch 0,
+    # and torch's own MultiStepLR then runs epoch 0 at lr*gamma^4 — our
+    # step-count schedule reproduces that degenerate case faithfully
+    # (verified against torch), but it is not the reference training
+    # regime and silently invalidated the twin's constant-lr assumption
+    # (the round-2 red test's actual root cause: every update was exactly
+    # 16x smaller than the twin's).
     cfg = get_config(
         "esrgan",
-        compute_dtype="float32",
+        compute_dtype="float64",
         content_weight=(),
+        epochs=100,
         g_kwargs={"channels": 8, "growth_channels": 4, "num_blocks": 2},
+        d_kwargs={"channels": 8},
     )
     assert cfg.g_step_first and cfg.relativistic_gan
     pix_w, adv_w, ema_decay = cfg.pixel_weight[0], cfg.adversarial_weight[0], cfg.model_ema_decay
@@ -424,7 +446,7 @@ def test_esrgan_relativistic_gan_lockstep_with_reference_trainer():
 
     tr = Trainer(cfg, steps_per_epoch=1000)
     rng = np.random.default_rng(3)
-    gts = rng.uniform(size=(N_STEPS, BATCH, 128, 128, 3)).astype(np.float32)
+    gts = rng.uniform(size=(N_STEPS, BATCH, 128, 128, 3))  # float64
     lrs = gts[:, :, ::4, ::4, :]
 
     state = tr.init_state(jax.random.PRNGKey(0), lrs.shape[1:], gts.shape[1:])
@@ -446,8 +468,8 @@ def test_esrgan_relativistic_gan_lockstep_with_reference_trainer():
             if isinstance(m_, nn.BatchNorm2d):
                 m_.track_running_stats = on
 
-    ones = torch.ones((BATCH, 1))
-    zeros = torch.zeros((BATCH, 1))
+    ones = torch.ones((BATCH, 1), dtype=torch.float64)
+    zeros = torch.zeros((BATCH, 1), dtype=torch.float64)
     t_losses, j_losses = [], []
     for i in range(N_STEPS):
         gt = torch.from_numpy(np.moveaxis(gts[i], -1, 1))
@@ -489,7 +511,9 @@ def test_esrgan_relativistic_gan_lockstep_with_reference_trainer():
         state, m = tr.train_step(state, jnp.asarray(gts[i]), jnp.asarray(lrs[i]))
         j_losses.append((float(m["g_loss"]), float(m["d_loss"])))
 
-    np.testing.assert_allclose(j_losses, t_losses, rtol=5e-5, atol=5e-6)
+    # losses come back through the f32 metrics dict: f32-rounding bound,
+    # not an f64-trajectory bound (the param asserts below carry that)
+    np.testing.assert_allclose(j_losses, t_losses, rtol=5e-7, atol=1e-9)
 
     for label, got_tree, want_sd, conv in [
         ("g", state.g_params, g_t.state_dict(), None),
@@ -502,7 +526,7 @@ def test_esrgan_relativistic_gan_lockstep_with_reference_trainer():
         assert set(got) == set(want)
         for name in sorted(want):
             np.testing.assert_allclose(
-                got[name], want[name], rtol=5e-4, atol=5e-6,
+                got[name], want[name], rtol=1e-6, atol=1e-9,
                 err_msg=f"{label}/{name} diverged after {N_STEPS} relativistic GAN steps",
             )
     want_d, want_stats = port.convert_vgg_discriminator(
@@ -513,23 +537,28 @@ def test_esrgan_relativistic_gan_lockstep_with_reference_trainer():
     assert set(got_d) == set(want_d)
     for name in sorted(want_d):
         np.testing.assert_allclose(
-            got_d[name], want_d[name], rtol=5e-4, atol=5e-6,
+            got_d[name], want_d[name], rtol=1e-6, atol=1e-9,
             err_msg=f"d/{name} diverged after {N_STEPS} relativistic GAN steps",
         )
-    # BN running stats: means identical; flax accumulates the BIASED batch
-    # variance where torch accumulates the unbiased one — correct by each
-    # layer's (n-1)/n with n = N*H*W at that stage
+    # BN running stats: means accumulate identically; for variances flax
+    # accumulates the BIASED batch variance where torch accumulates the
+    # unbiased one (factor n/(n-1), n = N*H*W at that stage). Only the
+    # accumulated batch-var terms differ — the decayed initial var
+    # (0.9^K * 1.0, K = 2 stat updates per step) is shared by both — so
+    # the expected flax value is decay + (torch - decay) * (n-1)/n.
     spatial = [64, 64, 32, 32, 16, 16, 8, 8, 4]
+    decay = 0.9 ** (2 * N_STEPS)
     got_stats = state.d_vars["batch_stats"]
     for i, s in enumerate(spatial):
         n = BATCH * s * s
         np.testing.assert_allclose(
             np.asarray(got_stats[f"BatchNorm_{i}"]["mean"]),
-            want_stats[f"BatchNorm_{i}"]["mean"], rtol=5e-4, atol=1e-5,
+            want_stats[f"BatchNorm_{i}"]["mean"], rtol=1e-7, atol=1e-10,
             err_msg=f"BatchNorm_{i} running mean diverged",
         )
         np.testing.assert_allclose(
             np.asarray(got_stats[f"BatchNorm_{i}"]["var"]),
-            want_stats[f"BatchNorm_{i}"]["var"] * (n - 1) / n, rtol=5e-4, atol=1e-5,
+            decay + (want_stats[f"BatchNorm_{i}"]["var"] - decay) * (n - 1) / n,
+            rtol=1e-7, atol=1e-10,
             err_msg=f"BatchNorm_{i} running var diverged",
         )
