@@ -562,3 +562,421 @@ def test_esrgan_relativistic_gan_lockstep_with_reference_trainer():
             rtol=1e-7, atol=1e-10,
             err_msg=f"BatchNorm_{i} running var diverged",
         )
+
+
+def test_realesrgan_gan_lockstep_with_reference_trainer():
+    """Real-ESRGAN family lockstep vs the reference update rule
+    (``Real_ESRGAN/train_realesrgan.py:415-474``): G-FIRST ordering with
+    plain BCE on full [N,1,H,W] label maps, pixel (content dropped both
+    sides — weights env-gated) loss vs the USM-SHARPENED gt while the
+    discriminator judges the RAW gt, U-Net SN discriminator whose power
+    iterations advance on the D update's two forwards (the G-pass
+    iteration is not persisted — PARITY item 6, reproduced torch-side by
+    restoring u/v around it), EMA 0.999. Both sides f64 (see the ESRGAN
+    docstring: f32 GAN lockstep is chaotic). ``gt_usm`` is an
+    independently drawn tensor — the USM operator itself is goldened in
+    tests/test_degradation_ops.py; here only the update rule's use of two
+    distinct targets is pinned."""
+    torch.manual_seed(0)
+    g_t = _TorchRRDBNetX4(ch=8, gc=4, nb=2).double()
+    d_t = _TorchUNetD(c=8).double()
+    g_init = port.convert_rrdb_generator(
+        {k: v.detach().numpy().copy() for k, v in g_t.state_dict().items()}, num_blocks=2
+    )
+    d_init = port.convert_unet_discriminator(
+        {k: v.detach().numpy().copy() for k, v in d_t.state_dict().items()}
+    )
+
+    cfg = get_config(
+        "realesrgan",
+        compute_dtype="float64",
+        content_weight=(),
+        epochs=100,  # milestones genuinely epochs away (see ESRGAN note)
+        g_kwargs={"channels": 8, "growth_channels": 4, "num_rrdb": 2},
+        d_kwargs={"channels": 8},
+    )
+    assert cfg.g_step_first and not cfg.relativistic_gan
+    pix_w, adv_w, ema_decay = cfg.pixel_weight[0], cfg.adversarial_weight[0], cfg.model_ema_decay
+
+    g_opt = torch.optim.Adam(
+        g_t.parameters(), lr=cfg.model_lr, betas=cfg.model_betas, eps=cfg.model_eps
+    )
+    d_opt = torch.optim.Adam(
+        d_t.parameters(), lr=cfg.discriminator_lr or cfg.model_lr,
+        betas=cfg.model_betas, eps=cfg.model_eps,
+    )
+    crit = nn.BCEWithLogitsLoss()
+    l1 = nn.L1Loss()
+    ema_t = {k: v.detach().clone() for k, v in g_t.state_dict().items()}
+
+    tr = Trainer(cfg, steps_per_epoch=1000)
+    step = tr.make_train_step(separate_pixel_target=True)
+    rng = np.random.default_rng(11)
+    GT = 32
+    gts = rng.uniform(size=(N_STEPS, BATCH, GT, GT, 3))
+    usms = np.clip(gts + 0.05 * rng.standard_normal(gts.shape), 0.0, 1.0)
+    lrs = gts[:, :, ::4, ::4, :]
+
+    state = tr.init_state(jax.random.PRNGKey(0), lrs.shape[1:], gts.shape[1:])
+    g_p = jax.tree_util.tree_map(jnp.asarray, g_init)
+    d_p = jax.tree_util.tree_map(jnp.asarray, d_init)
+    state = state.replace(
+        g_params=g_p,
+        g_opt_state=tr.g_tx.init(g_p),
+        ema_g_params=jax.tree_util.tree_map(jnp.copy, g_p),
+        d_params=d_p,
+        d_opt_state=tr.d_tx.init(d_p),
+        d_vars={"spectral": _spectral_u_tree(d_t)},
+    )
+
+    ones = torch.ones((BATCH, 1, GT, GT), dtype=torch.float64)
+    zeros = torch.zeros((BATCH, 1, GT, GT), dtype=torch.float64)
+    t_losses, j_losses = [], []
+    for i in range(N_STEPS):
+        gt = torch.from_numpy(np.moveaxis(gts[i], -1, 1))
+        usm = torch.from_numpy(np.moveaxis(usms[i], -1, 1))
+        lr = torch.from_numpy(np.moveaxis(lrs[i], -1, 1))
+        # --- reference G step first (old D); pixel targets gt_usm
+        sr = g_t(lr)
+        g_opt.zero_grad()
+        snap = _snapshot_sn_buffers(d_t)
+        adv = adv_w * crit(d_t(sr), ones)
+        _restore_sn_buffers(d_t, snap)
+        g_loss = pix_w * l1(sr, usm) + adv
+        g_loss.backward()
+        g_opt.step()
+        with torch.no_grad():
+            for k, v in g_t.state_dict().items():
+                ema_t[k].mul_(ema_decay).add_(v, alpha=1.0 - ema_decay)
+        # --- reference D step: raw gt forward then sr forward (two
+        # persisted power iterations, matching our d_update cadence)
+        d_opt.zero_grad()
+        d_loss = crit(d_t(gt), ones) + crit(d_t(sr.detach()), zeros)
+        d_loss.backward()
+        d_opt.step()
+        t_losses.append((float(g_loss.detach()), float(d_loss.detach())))
+
+        state, m = step(
+            state, jnp.asarray(gts[i]), jnp.asarray(lrs[i]), jnp.asarray(usms[i])
+        )
+        j_losses.append((float(m["g_loss"]), float(m["d_loss"])))
+
+    # f32 metrics-dict rounding bound (see ESRGAN test)
+    np.testing.assert_allclose(j_losses, t_losses, rtol=5e-7, atol=1e-9)
+
+    for label, got_tree, want_sd in [
+        ("g", state.g_params, g_t.state_dict()),
+        ("ema_g", state.ema_g_params, ema_t),
+    ]:
+        want = _flat(port.convert_rrdb_generator(
+            {k: v.detach().numpy() for k, v in want_sd.items()}, num_blocks=2
+        ))
+        got = _flat(got_tree)
+        assert set(got) == set(want)
+        for name in sorted(want):
+            np.testing.assert_allclose(
+                got[name], want[name], rtol=1e-6, atol=1e-9,
+                err_msg=f"{label}/{name} diverged after {N_STEPS} Real-ESRGAN steps",
+            )
+    want_d = _flat(port.convert_unet_discriminator(
+        {k: v.detach().numpy() for k, v in d_t.state_dict().items()}
+    ))
+    got_d = _flat(state.d_params)
+    assert set(got_d) == set(want_d)
+    for name in sorted(want_d):
+        np.testing.assert_allclose(
+            got_d[name], want_d[name], rtol=1e-6, atol=1e-9,
+            err_msg=f"d/{name} diverged after {N_STEPS} Real-ESRGAN steps",
+        )
+    sd = d_t.state_dict()
+    for i, src in enumerate(_SN_SOURCES):
+        np.testing.assert_allclose(
+            np.asarray(state.d_vars["spectral"][f"SNConv_{i}"]["u"]),
+            sd[f"{src}.weight_u"].numpy(), rtol=1e-6, atol=1e-9,
+            err_msg=f"spectral u of {src} diverged",
+        )
+
+
+class _TorchAddAttn(nn.Module):
+    """Reference A-ESRGAN attention gate topology + naming
+    (``A-ESRGAN/model.py:228-254``)."""
+
+    def __init__(self, xc, gc):
+        super().__init__()
+        self.W = nn.Sequential(
+            nn.Conv2d(xc, xc, kernel_size=1, stride=1, padding=0), nn.BatchNorm2d(xc)
+        )
+        self.theta = nn.Conv2d(xc, xc, kernel_size=2, stride=2, padding=0, bias=False)
+        self.phi = nn.Conv2d(gc, xc, kernel_size=1, stride=1, padding=0, bias=True)
+        self.psi = nn.Conv2d(xc, 1, kernel_size=1, stride=1, padding=0, bias=True)
+
+    def forward(self, x, g):
+        theta_x = self.theta(x)
+        phi_g = F.interpolate(
+            self.phi(g), size=theta_x.shape[2:], mode="bilinear", align_corners=False
+        )
+        f = F.relu(theta_x + phi_g)
+        sigm = torch.sigmoid(self.psi(f))
+        sigm = F.interpolate(sigm, size=x.shape[2:], mode="bilinear", align_corners=False)
+        return self.W(sigm.expand_as(x) * x), sigm
+
+
+class _TorchUNetCat(nn.Module):
+    """Reference upsample-then-concat merge (``A-ESRGAN/model.py:258-275``)."""
+
+    def __init__(self, dim_in, dim_out):
+        super().__init__()
+        self.convU = torch.nn.utils.spectral_norm(
+            nn.Conv2d(dim_in, dim_out, 3, 1, 1, bias=False)
+        )
+
+    def forward(self, skip, deep):
+        deep = F.interpolate(deep, scale_factor=2, mode="bilinear", align_corners=False)
+        deep = F.leaky_relu(self.convU(deep), negative_slope=0.2)
+        offset = deep.shape[2] - skip.shape[2]
+        skip = F.pad(skip, 2 * [offset // 2, offset // 2])
+        return torch.cat([skip, deep], 1)
+
+
+class _TorchAESRGANAttnD(nn.Module):
+    """Reference A-ESRGAN attention U-Net SN discriminator topology +
+    naming (``A-ESRGAN/model.py:279-352``), incl. the 1x1 ``gating`` conv
+    with padding=1 quirk."""
+
+    def __init__(self, f=8):
+        super().__init__()
+        sn = torch.nn.utils.spectral_norm
+        self.conv0 = nn.Conv2d(3, f, 3, 1, 1)
+        self.conv1 = sn(nn.Conv2d(f, f * 2, 3, 2, 1, bias=False))
+        self.conv2 = sn(nn.Conv2d(f * 2, f * 4, 3, 2, 1, bias=False))
+        self.conv3 = sn(nn.Conv2d(f * 4, f * 8, 3, 2, 1, bias=False))
+        self.gating = sn(nn.Conv2d(f * 8, f * 4, 1, 1, 1, bias=False))
+        self.attn_1 = _TorchAddAttn(f * 4, f * 4)
+        self.attn_2 = _TorchAddAttn(f * 2, f * 4)
+        self.attn_3 = _TorchAddAttn(f, f * 4)
+        self.cat_1 = _TorchUNetCat(f * 8, f * 4)
+        self.cat_2 = _TorchUNetCat(f * 4, f * 2)
+        self.cat_3 = _TorchUNetCat(f * 2, f)
+        self.conv4 = sn(nn.Conv2d(f * 8, f * 4, 3, 1, 1, bias=False))
+        self.conv5 = sn(nn.Conv2d(f * 4, f * 2, 3, 1, 1, bias=False))
+        self.conv6 = sn(nn.Conv2d(f * 2, f, 3, 1, 1, bias=False))
+        self.conv7 = sn(nn.Conv2d(f, f, 3, 1, 1, bias=False))
+        self.conv8 = sn(nn.Conv2d(f, f, 3, 1, 1, bias=False))
+        self.conv9 = nn.Conv2d(f, 1, 3, 1, 1)
+
+    def forward(self, x):
+        lre = lambda t: F.leaky_relu(t, negative_slope=0.2)
+        x0 = lre(self.conv0(x))
+        x1 = lre(self.conv1(x0))
+        x2 = lre(self.conv2(x1))
+        x3 = lre(self.conv3(x2))
+        gated = lre(self.gating(x3))
+        attn1, _ = self.attn_1(x2, gated)
+        attn2, _ = self.attn_2(x1, gated)
+        attn3, _ = self.attn_3(x0, gated)
+        y = lre(self.conv4(self.cat_1(attn1, x3)))
+        y = lre(self.conv5(self.cat_2(attn2, y)))
+        y = lre(self.conv6(self.cat_3(attn3, y)))
+        y = lre(self.conv7(y))
+        y = lre(self.conv8(y))
+        return self.conv9(y)
+
+
+_AESRGAN_TOP_SN = [  # torch name per our SNConv_{i} auto-numbering
+    "conv1", "conv2", "conv3", "gating", "conv4", "conv5", "conv6", "conv7", "conv8",
+]
+
+
+def _aesrgan_spectral_u(d: nn.Module) -> dict:
+    sd = d.state_dict()
+    tree = {
+        f"SNConv_{i}": {"u": jnp.asarray(sd[f"{src}.weight_u"].numpy().copy())}
+        for i, src in enumerate(_AESRGAN_TOP_SN)
+    }
+    for i, src in enumerate(["cat_1", "cat_2", "cat_3"]):
+        tree[f"_UNetCat_{i}"] = {
+            "SNConv_0": {"u": jnp.asarray(sd[f"{src}.convU.weight_u"].numpy().copy())}
+        }
+    return tree
+
+
+def test_aesrgan_gan_lockstep_with_reference_trainer():
+    """A-ESRGAN family lockstep vs the reference update rule
+    (``A-ESRGAN/train_aesrgan.py:420-478``): D-FIRST ordering (gt forward,
+    then sr from the CURRENT generator, two separate backwards = one
+    summed one), plain BCE on full [N,1,H,W] label maps through the
+    ATTENTION U-Net SN discriminator (gates with BatchNorm + the 1x1
+    gating-padding quirk), then the G update whose adversarial term sees
+    the UPDATED discriminator, asymmetric lrs (g 5e-5 / d 1e-5) and Adam
+    eps 1e-4, EMA 0.999. Content loss dropped both sides (env-gated).
+    Both sides f64 (see the ESRGAN docstring).
+
+    The generator is overridden to the BSRGAN x2 topology: the fork's
+    aesrgan config pairs this rule with BSRGANtrans, but the generator
+    arch is orthogonal to the UPDATE RULE being pinned here (each G arch's
+    forward/grad parity is covered by tests/test_generator_arch_parity.py
+    / tests/test_models.py), and the transformer's f32 attention
+    accumulators would defeat the f64 lockstep methodology.
+
+    BN cadence torch-side: graph forwards run with
+    ``track_running_stats=False`` (CPU autograd saved-tensor workaround,
+    see the ESRGAN docstring note 2); the D update's two stat advances are
+    applied via no-grad forwards AFTER restoring the spectral u/v to their
+    pre-step values, so those forwards re-advance u along exactly the same
+    two iterations our d_update persists — stats and u both end bit-equal
+    to the single-pass reference semantics."""
+    torch.manual_seed(0)
+    g_t = _TorchBSRGANX2(ch=8, gc=4, nb=1).double()
+    d_t = _TorchAESRGANAttnD(f=8).double().train()
+    g_init = port.convert_rrdb_generator(
+        {k: v.detach().numpy().copy() for k, v in g_t.state_dict().items()}, num_blocks=1
+    )
+    d_init, d_stats = port.convert_attention_unet_discriminator(
+        {k: v.detach().numpy().copy() for k, v in d_t.state_dict().items()}
+    )
+
+    cfg = get_config(
+        "aesrgan",
+        compute_dtype="float64",
+        content_weight=(),
+        g_arch="bsrgan_x2",
+        g_kwargs={"channels": 8, "growth_channels": 4, "num_rrdb": 1},
+        d_kwargs={"num_feat": 8},
+    )
+    assert not cfg.g_step_first and not cfg.relativistic_gan
+    pix_w, adv_w, ema_decay = cfg.pixel_weight[0], cfg.adversarial_weight[0], cfg.model_ema_decay
+
+    g_opt = torch.optim.Adam(
+        g_t.parameters(), lr=cfg.model_lr, betas=cfg.model_betas, eps=cfg.model_eps
+    )
+    d_opt = torch.optim.Adam(
+        d_t.parameters(), lr=cfg.discriminator_lr, betas=cfg.model_betas, eps=cfg.model_eps
+    )
+    crit = nn.BCEWithLogitsLoss()
+    l1 = nn.L1Loss()
+    ema_t = {k: v.detach().clone() for k, v in g_t.state_dict().items()}
+
+    tr = Trainer(cfg, steps_per_epoch=1000)
+    rng = np.random.default_rng(13)
+    GT = 16
+    gts = rng.uniform(size=(N_STEPS, BATCH, GT, GT, 3))
+    lrs = gts[:, :, ::2, ::2, :]
+
+    state = tr.init_state(jax.random.PRNGKey(0), lrs.shape[1:], gts.shape[1:])
+    g_p = jax.tree_util.tree_map(jnp.asarray, g_init)
+    d_p = jax.tree_util.tree_map(jnp.asarray, d_init)
+    state = state.replace(
+        g_params=g_p,
+        g_opt_state=tr.g_tx.init(g_p),
+        ema_g_params=jax.tree_util.tree_map(jnp.copy, g_p),
+        d_params=d_p,
+        d_opt_state=tr.d_tx.init(d_p),
+        d_vars={
+            "batch_stats": jax.tree_util.tree_map(jnp.asarray, d_stats),
+            "spectral": _aesrgan_spectral_u(d_t),
+        },
+    )
+
+    def _track_stats(on: bool) -> None:
+        for m_ in d_t.modules():
+            if isinstance(m_, nn.BatchNorm2d):
+                m_.track_running_stats = on
+
+    ones = torch.ones((BATCH, 1, GT, GT), dtype=torch.float64)
+    zeros = torch.zeros((BATCH, 1, GT, GT), dtype=torch.float64)
+    t_losses, j_losses = [], []
+    for i in range(N_STEPS):
+        gt = torch.from_numpy(np.moveaxis(gts[i], -1, 1))
+        lr = torch.from_numpy(np.moveaxis(lrs[i], -1, 1))
+        _track_stats(False)
+        # --- reference D step first: d(gt), sr = g(lr), d(sr.detach())
+        snap0 = _snapshot_sn_buffers(d_t)  # pre-step u/v for the stat pass
+        d_opt.zero_grad()
+        sr = g_t(lr)
+        d_loss = crit(d_t(gt), ones) + crit(d_t(sr.detach()), zeros)
+        d_loss.backward()
+        # the two real stat advances (pre-step weights): restore u/v first
+        # so these forwards re-run the SAME two power iterations
+        _restore_sn_buffers(d_t, snap0)
+        _track_stats(True)
+        with torch.no_grad():
+            d_t(gt)
+            d_t(sr.detach())
+        _track_stats(False)
+        d_opt.step()
+        # --- reference G step vs the UPDATED D (same sr graph)
+        g_opt.zero_grad()
+        snap = _snapshot_sn_buffers(d_t)
+        adv = adv_w * crit(d_t(sr), ones)
+        _restore_sn_buffers(d_t, snap)
+        g_loss = pix_w * l1(sr, gt) + adv
+        g_loss.backward()
+        g_opt.step()
+        with torch.no_grad():
+            for k, v in g_t.state_dict().items():
+                ema_t[k].mul_(ema_decay).add_(v, alpha=1.0 - ema_decay)
+        t_losses.append((float(d_loss.detach()), float(g_loss.detach())))
+
+        state, m = tr.train_step(state, jnp.asarray(gts[i]), jnp.asarray(lrs[i]))
+        j_losses.append((float(m["d_loss"]), float(m["g_loss"])))
+
+    # f32 metrics-dict rounding bound (see ESRGAN test)
+    np.testing.assert_allclose(j_losses, t_losses, rtol=5e-7, atol=1e-9)
+
+    for label, got_tree, want_sd in [
+        ("g", state.g_params, g_t.state_dict()),
+        ("ema_g", state.ema_g_params, ema_t),
+    ]:
+        want = _flat(port.convert_rrdb_generator(
+            {k: v.detach().numpy() for k, v in want_sd.items()}, num_blocks=1
+        ))
+        got = _flat(got_tree)
+        assert set(got) == set(want)
+        for name in sorted(want):
+            np.testing.assert_allclose(
+                got[name], want[name], rtol=1e-6, atol=1e-9,
+                err_msg=f"{label}/{name} diverged after {N_STEPS} A-ESRGAN steps",
+            )
+    want_d, want_stats = port.convert_attention_unet_discriminator(
+        {k: v.detach().numpy() for k, v in d_t.state_dict().items()}
+    )
+    got_d = _flat(state.d_params)
+    want_d = _flat(want_d)
+    assert set(got_d) == set(want_d)
+    for name in sorted(want_d):
+        np.testing.assert_allclose(
+            got_d[name], want_d[name], rtol=1e-6, atol=1e-9,
+            err_msg=f"d/{name} diverged after {N_STEPS} A-ESRGAN steps",
+        )
+    # spectral u's advanced in lockstep (top-level + the cat convs)
+    sd = d_t.state_dict()
+    spectral = state.d_vars["spectral"]
+    for i, src in enumerate(_AESRGAN_TOP_SN):
+        np.testing.assert_allclose(
+            np.asarray(spectral[f"SNConv_{i}"]["u"]),
+            sd[f"{src}.weight_u"].numpy(), rtol=1e-6, atol=1e-9,
+            err_msg=f"spectral u of {src} diverged",
+        )
+    for i, src in enumerate(["cat_1", "cat_2", "cat_3"]):
+        np.testing.assert_allclose(
+            np.asarray(spectral[f"_UNetCat_{i}"]["SNConv_0"]["u"]),
+            sd[f"{src}.convU.weight_u"].numpy(), rtol=1e-6, atol=1e-9,
+            err_msg=f"spectral u of {src}.convU diverged",
+        )
+    # gate BN running stats (biased/unbiased var correction, see the
+    # ESRGAN test): spatial sizes of the three attn gates' W inputs
+    decay = 0.9 ** (2 * N_STEPS)
+    got_stats = state.d_vars["batch_stats"]
+    for i, s in enumerate([GT // 4, GT // 2, GT]):
+        n = BATCH * s * s
+        bn_got = got_stats[f"_AddAttn_{i}"]["BatchNorm_0"]
+        bn_want = want_stats[f"_AddAttn_{i}"]["BatchNorm_0"]
+        np.testing.assert_allclose(
+            np.asarray(bn_got["mean"]), bn_want["mean"], rtol=1e-7, atol=1e-10,
+            err_msg=f"_AddAttn_{i} BN running mean diverged",
+        )
+        np.testing.assert_allclose(
+            np.asarray(bn_got["var"]),
+            decay + (bn_want["var"] - decay) * (n - 1) / n, rtol=1e-7, atol=1e-10,
+            err_msg=f"_AddAttn_{i} BN running var diverged",
+        )

@@ -125,6 +125,54 @@ def convert_unet_discriminator(sd: dict[str, np.ndarray]) -> dict:
     return params
 
 
+def convert_attention_unet_discriminator(
+    sd: dict[str, np.ndarray]
+) -> tuple[dict, dict]:
+    """A-ESRGAN ``UNetDiscriminatorAesrgan`` naming (conv0..conv9, gating,
+    attn_{1..3}.{theta,phi,psi,W.0,W.1}, cat_{1..3}.convU —
+    ``A-ESRGAN/model.py:279-352``) -> our ``AttentionUNetDiscriminator``
+    tree. Returns ``(params, batch_stats)`` (the attention gates' BN
+    running stats live in a separate Flax collection)."""
+
+    def kernel_of(prefix: str) -> np.ndarray:
+        key = f"{prefix}.weight_orig" if f"{prefix}.weight_orig" in sd else f"{prefix}.weight"
+        return _oihw_to_hwio(sd[key])
+
+    def conv(prefix: str, bias: bool = True) -> dict:
+        entry = {"kernel": _oihw_to_hwio(sd[f"{prefix}.weight"])}
+        if bias:
+            entry["bias"] = sd[f"{prefix}.bias"]
+        return {"Conv_0": entry}
+
+    params: dict = {"Conv_0": conv("conv0"), "Conv_1": conv("conv9")}
+    # top-level SN convs in our module's call order (SNConv_3 is the
+    # reference's 1x1-padding-1 gating quirk)
+    top_sn = ["conv1", "conv2", "conv3", "gating", "conv4", "conv5", "conv6", "conv7", "conv8"]
+    for i, src in enumerate(top_sn):
+        params[f"SNConv_{i}"] = {"kernel": kernel_of(src)}
+    stats: dict = {}
+    for i, src in enumerate(["attn_1", "attn_2", "attn_3"]):
+        params[f"_AddAttn_{i}"] = {
+            "Conv_0": conv(f"{src}.theta", bias=False),  # k2/s2 gate query
+            "Conv_1": conv(f"{src}.phi"),
+            "Conv_2": conv(f"{src}.psi"),
+            "Conv_3": conv(f"{src}.W.0"),  # gated 1x1
+            "BatchNorm_0": {
+                "scale": sd[f"{src}.W.1.weight"],
+                "bias": sd[f"{src}.W.1.bias"],
+            },
+        }
+        stats[f"_AddAttn_{i}"] = {
+            "BatchNorm_0": {
+                "mean": sd[f"{src}.W.1.running_mean"],
+                "var": sd[f"{src}.W.1.running_var"],
+            }
+        }
+    for i, src in enumerate(["cat_1", "cat_2", "cat_3"]):
+        params[f"_UNetCat_{i}"] = {"SNConv_0": {"kernel": kernel_of(f"{src}.convU")}}
+    return params, stats
+
+
 def convert_vgg_discriminator(sd: dict[str, np.ndarray]) -> tuple[dict, dict]:
     """Reference ESRGAN VGG-128 Discriminator naming (one ``features``
     Sequential of conv/BN/LeakyReLU entries + a ``classifier`` of two
@@ -227,6 +275,9 @@ def main() -> None:
         params = convert_unet_discriminator(sd)
     elif args.arch == "discriminator":  # ESRGAN's VGG-128 D
         params, stats = convert_vgg_discriminator(sd)
+        params = dict(params, **{"batch_stats": stats})
+    elif args.arch in ("discriminator_attention_unet", "uNetDiscriminatorAesrgan"):
+        params, stats = convert_attention_unet_discriminator(sd)
         params = dict(params, **{"batch_stats": stats})
     else:
         raise SystemExit(f"no converter for arch {args.arch!r}")
