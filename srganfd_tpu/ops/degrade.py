@@ -181,7 +181,15 @@ def _apply_chain(
         x = filters.filter2d(x, kernels_b)
         x = _masked_jpeg(x, jpeg_quality, jpeg_apply * (pos == 2))
 
-    x = _masked_jpeg(x, final_jpeg_quality, None)  # final JPEG, always
+    # final JPEG, always (``BSRGAN/imgproc.py:558``). Sentinel: a
+    # non-positive final quality skips the stage per sample — used by the
+    # forced-decision chain goldens to compare the JPEG-free chain against
+    # the executed reference exactly (tests/test_chain_goldens.py).
+    x = _masked_jpeg(
+        x,
+        jnp.maximum(final_jpeg_quality, 1.0),
+        (final_jpeg_quality > 0.0).astype(x.dtype),
+    )
     x = imresize(x, 1.0 / effective_upscale)
     return x
 
@@ -425,13 +433,14 @@ def bsrgan_degradation_plus(
                 x = add_speckle_noise(x, sub, sigma, gray)
         elif i == 5:
             q = jnp.asarray(rng.integers(30, 96, size=n).astype(np.float32))
-            x = _masked_jpeg(x, q, None)
+            # quality<=0 = skip sentinel (forced-decision chain goldens)
+            x = _masked_jpeg(x, jnp.maximum(q, 1.0), (q > 0).astype(x.dtype))
 
     x = cv2_style_resize(
         x, (h // upscale_factor, w // upscale_factor), int(rng.choice([1, 2, 3]))
     )
     q = jnp.asarray(rng.integers(30, 96, size=n).astype(np.float32))
-    return _masked_jpeg(jnp.clip(x, 0.0, 1.0), q, None)
+    return _masked_jpeg(jnp.clip(x, 0.0, 1.0), jnp.maximum(q, 1.0), (q > 0).astype(x.dtype))
 
 
 def _gaussian_gray_mask(rng: np.random.Generator, n: int) -> jax.Array:

@@ -184,9 +184,14 @@ def _noise(x, key, sigma, pscale, is_poisson, gray):
 def _jpeg16(x, quality):
     h, w = x.shape[1], x.shape[2]
     ph, pw = (-h) % 16, (-w) % 16
+    xp = x
     if ph or pw:
-        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
-    return diff_jpeg(x, quality, differentiable=False)[:, :h, :w, :]
+        xp = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
+    out = diff_jpeg(xp, jnp.maximum(quality, 1.0), differentiable=False)[:, :h, :w, :]
+    # quality<=0 = per-sample skip sentinel (forced-decision chain goldens;
+    # production qualities are drawn from jpeg_range >= 30)
+    m = (quality > 0.0).astype(x.dtype)[:, None, None, None]
+    return m * out + (1.0 - m) * x
 
 
 @functools.partial(
