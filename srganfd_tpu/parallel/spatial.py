@@ -95,5 +95,9 @@ def spatial_sharded_sr(
     x = jax.device_put(
         jnp.asarray(image), NamedSharding(mesh, P(axis, None, None))
     )
-    out = jax.jit(run)(params, x)
+    # replicate the output: the host copy is needed anyway, and under
+    # multi-process meshes a sharded result would not be fully addressable
+    # from any one process (np.asarray would fail); the all-gather rides
+    # the same interconnect the halos did
+    out = jax.jit(run, out_shardings=NamedSharding(mesh, P()))(params, x)
     return np.asarray(out)[: h * sf]

@@ -210,3 +210,46 @@ def test_sigterm_one_process_preempts_both(tmp_path):
     ckpt_dir = work / "results" / "BSRGAN_x2"
     assert (ckpt_dir / "ckpt_preempt_last").exists()
     assert (ckpt_dir / "ckpt_preempt_last.meta.json").exists()
+
+
+def test_two_process_spatial_shard_ppermute():
+    """Cross-process ppermute: the sp halo exchange runs on a mesh whose
+    data axis spans 2 real jax.distributed processes, so the shard-3/4
+    halos ride Gloo. Each worker self-asserts interior exactness vs the
+    unsharded model; here the two processes' replicated outputs must be
+    identical and must match the single-process run of the same worker
+    (ppermute moves data without reducing, so unlike the psum tests there
+    is no fp-order allowance — the outputs agree to the digest)."""
+    worker = REPO / "tests" / "mp_sp_worker.py"
+
+    ref_proc = subprocess.Popen(
+        [sys.executable, str(worker), "unused", "0", "1"],
+        env=_worker_env(8), cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    ref = _parse(ref_proc, ref_proc.communicate(timeout=900)[0])
+
+    addr = f"127.0.0.1:{_free_port()}"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), addr, str(i), "2"],
+            env=_worker_env(4), cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    results = {}
+    for p, out in zip(procs, outs):
+        r = _parse(p, out)
+        results[r["proc"]] = r
+
+    assert set(results) == {0, 1}
+    assert results[0]["digest"] == results[1]["digest"], (
+        "the two processes disagree on the replicated sharded-SR output"
+    )
+    np.testing.assert_allclose(results[0]["sum"], ref["sum"], rtol=1e-6)
+    assert results[0]["digest"] == ref["digest"], (
+        "cross-process ppermute produced different bits than the "
+        "single-process mesh"
+    )
