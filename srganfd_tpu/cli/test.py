@@ -30,6 +30,24 @@ from srganfd_tpu.track.tracker import Tracker
 from srganfd_tpu.train import checkpoint as ckpt
 
 
+# 'auto' NIQE-impl pixel budget: above this, the bit-exact torch twin
+# (which twins the reference module's cost — minutes per megapixel-class
+# frame on small hosts) yields to the numpy implementation (~seconds).
+NIQE_AUTO_MODULE_MAX_PIXELS = 512 * 512
+
+
+def select_niqe_impl(impl: str, module_available: bool, n_pixels: int) -> str:
+    """Resolve ``--niqe-impl`` per frame. 'auto' keeps the bit-exact torch
+    twin for crops/small frames but falls back to the numpy ``niqe()``
+    above ``NIQE_AUTO_MODULE_MAX_PIXELS`` (scores differ by convention —
+    PARITY.md); explicit choices are honored unconditionally."""
+    if impl == "numpy" or not module_available:
+        return "numpy"
+    if impl == "module":
+        return "module"
+    return "module" if n_pixels <= NIQE_AUTO_MODULE_MAX_PIXELS else "numpy"
+
+
 def _pad_to_multiple(img: np.ndarray, mult: int) -> tuple[np.ndarray, int, int]:
     h, w = img.shape[:2]
     ph, pw = (-h) % mult, (-w) % mult
@@ -83,7 +101,9 @@ def main() -> None:
         help="which reference NIQE to match: 'module' = bit-exact twin of "
         "the torch NIQE the eval scripts call (test_bsrgan.py:125,227; "
         "needs torch), 'numpy' = the numpy niqe() implementation; "
-        "'auto' picks module when torch is importable",
+        "'auto' picks module when torch is importable, falling back to "
+        "numpy above 512x512 px/frame (the twin costs minutes per "
+        "megapixel frame, as the reference module does)",
     )
     ap.add_argument(
         "--self-ensemble",
@@ -127,6 +147,7 @@ def run_eval(args) -> dict:
 
     niqe_model = None
     niqe_use_module = False
+    niqe_auto_noted = False
     if args.niqe_model:
         from srganfd_tpu.metrics import niqe as niqe_mod
 
@@ -215,7 +236,18 @@ def run_eval(args) -> dict:
         if niqe_model is not None:
             from srganfd_tpu.metrics import niqe as niqe_mod
 
-            if niqe_use_module:
+            sel = select_niqe_impl(
+                args.niqe_impl, niqe_use_module,
+                sr_np.shape[0] * sr_np.shape[1],
+            )
+            if niqe_use_module and sel == "numpy" and not niqe_auto_noted:
+                niqe_auto_noted = True
+                print(
+                    "! --niqe-impl auto: frame exceeds "
+                    f"{NIQE_AUTO_MODULE_MAX_PIXELS} px, using the numpy "
+                    "niqe() (pass --niqe-impl module to force the torch twin)"
+                )
+            if sel == "module":
                 from srganfd_tpu.metrics.niqe_torch import niqe_torch_exact
 
                 n_score = niqe_torch_exact(sr_np.astype(np.float32), niqe_model)

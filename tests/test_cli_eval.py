@@ -102,3 +102,20 @@ def test_self_ensemble_eval(mixed_dir, tmp_path, monkeypatch):
     # buckets (128,128) + (64,128): square reuses one batch-4 program for
     # both orientations, non-square adds its transpose -> <= 3
     assert out["generator_compiles"] <= 3, out
+
+
+def test_niqe_impl_auto_selection_rule():
+    """--niqe-impl 'auto' keeps the bit-exact torch twin for crops but
+    falls back to the numpy niqe() above the pixel budget, so a
+    megapixel-class frame completes in seconds by default; explicit
+    choices are honored unconditionally."""
+    from srganfd_tpu.cli.test import NIQE_AUTO_MODULE_MAX_PIXELS, select_niqe_impl
+
+    small, big = 128 * 128, 1280 * 960
+    assert big > NIQE_AUTO_MODULE_MAX_PIXELS >= small
+    assert select_niqe_impl("auto", True, small) == "module"
+    assert select_niqe_impl("auto", True, NIQE_AUTO_MODULE_MAX_PIXELS) == "module"
+    assert select_niqe_impl("auto", True, big) == "numpy"
+    assert select_niqe_impl("auto", False, small) == "numpy"
+    assert select_niqe_impl("module", True, big) == "module"
+    assert select_niqe_impl("numpy", True, small) == "numpy"
