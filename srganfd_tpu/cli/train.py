@@ -241,10 +241,14 @@ def _run_train_body(
             f"{cfg.pretrained_g_model_weights_path}"
         )
     if cfg.pretrained_d_model_weights_path and state.d_params is not None:
-        loaded = ckpt.load_pretrained_params(cfg.pretrained_d_model_weights_path, "d_params")
-        # ported VGG-128 D checkpoints carry BN running stats alongside the
-        # params (tools/port_torch_weights.py convert_vgg_discriminator);
-        # graft them into the discriminator's mutable collection
+        loaded, saved_d_vars = ckpt.load_pretrained_params(
+            cfg.pretrained_d_model_weights_path, "d_params", with_d_vars=True
+        )
+        # ported VGG-128 D checkpoints (npz) carry BN running stats inline
+        # (tools/port_torch_weights.py convert_vgg_discriminator); native
+        # Orbax checkpoints carry every mutable collection in d_vars —
+        # graft whichever is present so a pretrained D never silently
+        # trains against init statistics (ADVICE r2)
         bn_stats = loaded.pop("batch_stats", None) if isinstance(loaded, dict) else None
         d_new, n_ok, n_all = ckpt.merge_by_path(state.d_params, loaded)
         d_vars = state.d_vars
@@ -252,6 +256,12 @@ def _run_train_body(
             merged_stats, s_ok, s_all = ckpt.merge_by_path(d_vars["batch_stats"], bn_stats)
             d_vars = dict(d_vars, batch_stats=merged_stats)
             n_ok, n_all = n_ok + s_ok, n_all + s_all
+        if saved_d_vars and d_vars:
+            for coll, saved in saved_d_vars.items():
+                if coll in d_vars and saved is not None:
+                    merged, s_ok, s_all = ckpt.merge_by_path(d_vars[coll], saved)
+                    d_vars = dict(d_vars, **{coll: merged})
+                    n_ok, n_all = n_ok + s_ok, n_all + s_all
         state = state.replace(d_params=d_new, d_vars=d_vars)
         print(
             f"loaded pretrained D ({n_ok}/{n_all} tensors) from "

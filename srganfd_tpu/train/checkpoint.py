@@ -353,14 +353,22 @@ def merge_by_path(current: Any, loaded: Any) -> tuple[Any, int, int]:
     return jax.tree_util.tree_unflatten(treedef, merged), n_loaded, len(flat_cur)
 
 
-def load_pretrained_params(path: str, key: str = "g_params") -> Any:
+def load_pretrained_params(
+    path: str, key: str = "g_params", with_d_vars: bool = False
+) -> Any:
     """Load a params pytree for pretrained initialization (the reference's
     ``pretrained_g/d_model_weights_path``, ``BSRGAN/train_bsrgan.py:60-86``).
 
     Accepts this framework's Orbax checkpoints (``key`` selects
     ``g_params``/``ema_g_params``/``d_params`` from the saved state) or a
     flat ``.npz`` in the ``tools/port_torch_weights.py`` layout
-    ('/'-joined key paths) — i.e. a ported reference ``.pth.tar``."""
+    ('/'-joined key paths) — i.e. a ported reference ``.pth.tar``.
+
+    ``with_d_vars=True`` returns ``(params, d_vars_or_None)`` so a
+    discriminator loaded from a native checkpoint also restores its
+    mutable collections (BatchNorm running stats, spectral-norm u's)
+    instead of silently keeping init statistics; npz sources carry those
+    inline (the caller pops ``batch_stats``) and return ``None`` here."""
     if path.endswith(".npz"):
         flat = np.load(path)
         tree: dict = {}
@@ -370,9 +378,11 @@ def load_pretrained_params(path: str, key: str = "g_params") -> Any:
             for p in parts[:-1]:
                 node = node.setdefault(p, {})
             node[parts[-1]] = flat[k]
-        return tree
+        return (tree, None) if with_d_vars else tree
     payload = load_checkpoint(path)
     state = payload["state"]
     if key not in state or state[key] is None:
         raise KeyError(f"checkpoint {path} has no '{key}'")
+    if with_d_vars:
+        return state[key], state.get("d_vars")
     return state[key]

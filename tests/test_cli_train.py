@@ -489,3 +489,71 @@ def test_load_pretrained_params_npz(tmp_path):
     tree = load_pretrained_params(str(tmp_path / "g.npz"))
     assert tree["conv1"]["kernel"].shape == (3, 3, 3, 8)
     assert tree["trunk"]["rdb"]["conv1"]["bias"].shape == (8,)
+
+
+def test_pretrained_d_from_orbax_restores_mutable_vars(data_dirs, tmp_path, monkeypatch):
+    """A pretrained D loaded from a NATIVE Orbax checkpoint must restore
+    its mutable collections (spectral-norm u's / BN running stats), not
+    silently keep init statistics (ADVICE r2). Detection: with zero lrs,
+    a run grafting run1's D ends with different spectral u's than an
+    otherwise identical fresh-init run — the power iteration advanced
+    from the RESTORED u, not from init — while its d_params equal run1's."""
+    import jax
+
+    from srganfd_tpu.train import checkpoint as ckpt_mod
+
+    train_dir, valid_dir = data_dirs
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("SRGANFD_NATIVE_LOADER", "0")
+    tiny_g = {"channels": 8, "growth_channels": 4, "num_rrdb": 1}
+    base = dict(
+        train_gt_images_dir=train_dir,
+        valid_gt_images_dir=valid_dir,
+        epochs=1,
+        batch_size=2,
+        gt_image_size=32,
+        crop_image_size=48,
+        compute_dtype="float32",
+        content_weight=(),
+        g_kwargs=tiny_g,
+        d_kwargs={"channels": 8},
+    )
+    run1 = run_train(get_config("bsrgan", **base), steps_per_epoch=1)
+    ckpt1 = str(tmp_path / "results" / "BSRGAN_x2" / "ckpt_last")
+
+    d_params, d_vars = ckpt_mod.load_pretrained_params(ckpt1, "d_params", with_d_vars=True)
+    assert d_vars is not None and "spectral" in d_vars
+
+    frozen = dict(model_lr=0.0, discriminator_lr=0.0, model_ema_decay=1.0)
+    run2 = run_train(
+        get_config(
+            "bsrgan", **base, **frozen,
+            exp_name="graft", pretrained_d_model_weights_path=ckpt1,
+        ),
+        steps_per_epoch=1,
+    )
+    run3 = run_train(
+        get_config("bsrgan", **base, **frozen, exp_name="fresh"),
+        steps_per_epoch=1,
+    )
+
+    # params grafted (zero lr keeps them at run1's values)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        run2["state"].d_params,
+        run1["state"].d_params,
+    )
+    # mutable vars grafted: the power iteration advanced from run1's u,
+    # so it cannot coincide with the fresh-init run's trajectory
+    u2 = np.concatenate([
+        np.asarray(v["u"]).ravel()
+        for v in run2["state"].d_vars["spectral"].values()
+    ])
+    u3 = np.concatenate([
+        np.asarray(v["u"]).ravel()
+        for v in run3["state"].d_vars["spectral"].values()
+    ])
+    assert float(np.max(np.abs(u2 - u3))) > 1e-4, (
+        "grafted-D run has the same spectral u trajectory as a fresh-init "
+        "run: d_vars were not restored from the checkpoint"
+    )
