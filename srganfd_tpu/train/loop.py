@@ -415,7 +415,11 @@ class Trainer:
                 sr = _unchunk(srs)
             updates, g_opt_state = self.g_tx.update(g_grads, state.g_opt_state, state.g_params)
             g_params = optax.apply_updates(state.g_params, updates)
-            ema = ema_update(state.ema_g_params, g_params, cfg.model_ema_decay)
+            ema = ema_update(
+                state.ema_g_params, g_params, cfg.model_ema_decay,
+                reference_semantics=cfg.ema_reference_semantics,
+                step=state.step,
+            )
             if guard:
                 finite = _all_finite(g_grads)
                 g_params = _pick(finite, g_params, state.g_params)

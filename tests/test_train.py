@@ -484,3 +484,41 @@ def test_generic_multi_step_matches_sequential():
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
     assert int(state_a.step) == 2
+
+
+def test_ema_update_reference_semantics_twins_averaged_model():
+    """``ema_reference_semantics`` reproduces the reference's literal
+    AveragedModel behavior: the INVERTED lerp ((1-decay)*avg + decay*p,
+    ``ESRGAN/train_esrgan.py:249``) plus the first-update copy — pinned
+    against torch's AveragedModel with the reference's own avg_fn."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    from torch.optim.swa_utils import AveragedModel
+
+    from srganfd_tpu.train.state import ema_update
+
+    decay = 0.9
+    torch.manual_seed(0)
+    m = torch.nn.Linear(3, 2).double()
+    ema_avg = lambda a, p, n: (1 - decay) * a + decay * p
+    ema_m = AveragedModel(m, avg_fn=ema_avg)
+
+    ema_j = {k: jnp.asarray(v.detach().numpy().copy()) for k, v in m.state_dict().items()}
+    for step in range(3):
+        with torch.no_grad():
+            for p in m.parameters():
+                p.add_(torch.randn_like(p) * 0.1)
+        ema_m.update_parameters(m)
+        params = {k: jnp.asarray(v.detach().numpy().copy()) for k, v in m.state_dict().items()}
+        ema_j = ema_update(
+            ema_j, params, decay, reference_semantics=True, step=jnp.asarray(step)
+        )
+
+    want = {k: v.detach().numpy() for k, v in ema_m.module.state_dict().items()}
+    for k in want:
+        np.testing.assert_allclose(np.asarray(ema_j[k]), want[k], rtol=1e-12)
+    # and the flag threads through the Trainer config
+    from srganfd_tpu.configs import get_config
+
+    assert get_config("bsrgan").ema_reference_semantics is False
