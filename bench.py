@@ -1,21 +1,26 @@
 """Headline benchmark: SR-GAN train steps/sec/chip on real TPU hardware.
 
-Config matches BASELINE.json's headline metric: BSRGAN-family full GAN
-training step (23-RRDB x4 generator + spectral-norm U-Net discriminator,
-pixel + adversarial loss, EMA) at batch 16 with 128-px GT crops (LR 32).
+Two configurations, one JSON line each (headline first):
 
-Baseline: the reference publishes no steps/sec (BASELINE.md); the
-north-star target is ">5x A100 per-chip step throughput". We anchor
-``vs_baseline`` to 2.5 steps/s for the PyTorch reference on A100 —
-derived and bracketed in BASELINE.md ("Derivation of the 2.5 steps/s
-A100 anchor"): 4.80 TFLOPs/step against A100 tensor-core rooflines at
-the utilization eager torch reaches on these small-spatial shapes,
-sanity-checked by ``tools/torch_anchor.py`` (the same torch step runs at
-its fp32 roofline on this host's CPU). vs_baseline > 5.0 meets the
-north star for any anchor <= 3.0 steps/s.
+1. bsrgan_x4 (BASELINE.json's headline metric): full GAN training step
+   (23-RRDB x4 generator + spectral-norm U-Net discriminator, pixel +
+   adversarial loss, EMA) at batch 16 with 128-px GT crops (LR 32).
+2. bsrgan_x2 at the thesis's own training shape
+   (``BSRGAN/bsrgan_config.py:97-101``): gt 144, batch 16, LR 72 — the
+   72-px trunk carries ~3.4x the x4 step FLOPs (16.36 vs 4.80 TFLOPs,
+   ``tools/torch_anchor.py``).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "steps/sec/chip", "vs_baseline": N}
+Baselines: the reference publishes no steps/sec (BASELINE.md); the
+north-star target is ">5x A100 per-chip step throughput". ``vs_baseline``
+anchors each line to the A100 throughput implied by the SAME derived
+utilization (BASELINE.md "Derivation of the 2.5 steps/s A100 anchor"):
+4.80 TFLOPs/step -> 2.5 steps/s for x4 (~3.85% of bf16 peak, bracketed
+2-4), and 16.36 TFLOPs/step -> 0.73 steps/s for the x2 shape at the same
+utilization. vs_baseline > 5.0 on the headline meets the north star for
+any x4 anchor <= 3.0 steps/s.
+
+Prints one JSON line per config:
+  {"metric": ..., "value": N, "unit": "steps/sec", "vs_baseline": N}
 """
 
 from __future__ import annotations
@@ -27,43 +32,61 @@ import time
 
 import numpy as np
 
-BASELINE_STEPS_PER_SEC_A100 = 2.5  # documented estimate, see module docstring
+CONFIGS = [
+    {
+        "metric": "bsrgan_x4 GAN train steps/sec/chip (batch 16, 128px GT)",
+        "arch": "bsrgan_x4",
+        "upscale": 4,
+        "gt": 128,
+        "batch": 16,
+        # documented estimate, see module docstring + BASELINE.md
+        "anchor_steps_per_sec": 2.5,
+    },
+    {
+        "metric": "bsrgan_x2 GAN train steps/sec/chip (batch 16, 144px GT — thesis shape)",
+        "arch": "bsrgan_x2",
+        "upscale": 2,
+        "gt": 144,
+        "batch": 16,
+        # same derived A100 utilization applied to 16.36 TFLOPs/step
+        "anchor_steps_per_sec": 0.73,
+    },
+]
 
-BATCH = 16
-GT_SIZE = 128
-UPSCALE = 4
 WARMUP_STEPS = 3
 MEASURE_STEPS = 20
 
 
-def _arm_watchdog(seconds: float) -> threading.Event:
+def _arm_watchdog(seconds: float, emitted: list) -> threading.Event:
     """The axon TPU tunnel can wedge on a stale claim (single-tenant
-    grant); if the bench cannot produce a number in time, emit a sentinel
-    JSON line instead of hanging the driver."""
+    grant); if the bench cannot produce its numbers in time, emit sentinel
+    JSON lines for every config not yet reported instead of hanging the
+    driver."""
     done = threading.Event()
 
     def watch() -> None:
         if not done.wait(seconds):
-            print(
-                json.dumps(
-                    {
-                        "metric": "bsrgan_x4 GAN train steps/sec/chip (batch 16, 128px GT)",
-                        "value": 0.0,
-                        "unit": "steps/sec",
-                        "vs_baseline": 0.0,
-                        "error": "TPU unavailable within watchdog timeout",
-                    }
-                ),
-                flush=True,
-            )
+            for c in CONFIGS:
+                if c["metric"] not in emitted:
+                    print(
+                        json.dumps(
+                            {
+                                "metric": c["metric"],
+                                "value": 0.0,
+                                "unit": "steps/sec",
+                                "vs_baseline": 0.0,
+                                "error": "TPU unavailable within watchdog timeout",
+                            }
+                        ),
+                        flush=True,
+                    )
             os._exit(2)
 
     threading.Thread(target=watch, daemon=True).start()
     return done
 
 
-def main() -> None:
-    done = _arm_watchdog(float(os.environ.get("BENCH_TIMEOUT_S", "2400")))
+def _bench_one(c: dict) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -71,11 +94,11 @@ def main() -> None:
     from srganfd_tpu.train.loop import Trainer
 
     cfg = get_config("bsrgan").replace(
-        upscale_factor=UPSCALE,
-        g_arch="bsrgan_x4",
+        upscale_factor=c["upscale"],
+        g_arch=c["arch"],
         g_kwargs={"scan_blocks": True},  # one compiled RRDB body instead of 23
-        gt_image_size=GT_SIZE,
-        batch_size=BATCH,
+        gt_image_size=c["gt"],
+        batch_size=c["batch"],
         content_weight=(),  # VGG19 weights unavailable in this image; the
         # pixel+adversarial GAN step is the measured hot path
         compute_dtype="bfloat16",
@@ -84,10 +107,9 @@ def main() -> None:
     trainer = Trainer(cfg, steps_per_epoch=1000)
 
     rng = np.random.default_rng(0)
-    gt = jnp.asarray(rng.uniform(size=(BATCH, GT_SIZE, GT_SIZE, 3)).astype(np.float32))
-    lr = jnp.asarray(
-        rng.uniform(size=(BATCH, GT_SIZE // UPSCALE, GT_SIZE // UPSCALE, 3)).astype(np.float32)
-    )
+    gt_px, lr_px = c["gt"], c["gt"] // c["upscale"]
+    gt = jnp.asarray(rng.uniform(size=(c["batch"], gt_px, gt_px, 3)).astype(np.float32))
+    lr = jnp.asarray(rng.uniform(size=(c["batch"], lr_px, lr_px, 3)).astype(np.float32))
 
     state = trainer.init_state(jax.random.PRNGKey(0), lr.shape, gt.shape)
     step = trainer.train_step
@@ -100,20 +122,27 @@ def main() -> None:
     for _ in range(MEASURE_STEPS):
         state, metrics = step(state, gt, lr)
     jax.block_until_ready(metrics["g_loss"])
-    dt = time.perf_counter() - t0
+    return MEASURE_STEPS / (time.perf_counter() - t0)
 
-    steps_per_sec = MEASURE_STEPS / dt
-    done.set()
-    print(
-        json.dumps(
-            {
-                "metric": "bsrgan_x4 GAN train steps/sec/chip (batch 16, 128px GT)",
-                "value": round(steps_per_sec, 4),
-                "unit": "steps/sec",
-                "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC_A100, 4),
-            }
+
+def main() -> None:
+    emitted: list[str] = []
+    done = _arm_watchdog(float(os.environ.get("BENCH_TIMEOUT_S", "2400")), emitted)
+    for c in CONFIGS:
+        steps_per_sec = _bench_one(c)
+        emitted.append(c["metric"])
+        print(
+            json.dumps(
+                {
+                    "metric": c["metric"],
+                    "value": round(steps_per_sec, 4),
+                    "unit": "steps/sec",
+                    "vs_baseline": round(steps_per_sec / c["anchor_steps_per_sec"], 4),
+                }
+            ),
+            flush=True,
         )
-    )
+    done.set()
 
 
 if __name__ == "__main__":

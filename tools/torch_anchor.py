@@ -46,6 +46,42 @@ def conv_macs(cin: int, cout: int, k: int, h: int, w: int) -> int:
     return cin * cout * k * k * h * w
 
 
+def bench_step_flops_x2(batch: int = 16, gt: int = 144, upscale: int = 2,
+                        ch: int = 64, gc: int = 32, nb: int = 23) -> dict:
+    """MACs for one full GAN step of the x2 thesis shape
+    (``BSRGAN/bsrgan_config.py:97-101``: gt 144, batch 16). The x2
+    generator runs ONE upsampling stage (``BSRGAN/model.py:311-384``), so
+    the enumeration drops the x4 arch's second upsample conv; everything
+    else mirrors :func:`bench_step_flops`. At the x4 anchor's implied
+    utilization (2.5 steps/s * 4.80 TFLOPs / 312 TFLOP/s ~ 3.85% of bf16
+    peak) the 16.36 TFLOPs/step here anchor the x2 bench line at ~0.73
+    steps/s."""
+    lr = gt // upscale
+    g = conv_macs(3, ch, 3, lr, lr)
+    for k in range(5):
+        cin = ch + gc * k
+        cout = gc if k < 4 else ch
+        g += nb * 3 * conv_macs(cin, cout, 3, lr, lr)
+    g += conv_macs(ch, ch, 3, lr, lr)
+    g += conv_macs(ch, ch, 3, gt, gt)  # single upsampling1 (2x == gt res)
+    g += conv_macs(ch, ch, 3, gt, gt) + conv_macs(ch, 3, 3, gt, gt)
+    d = conv_macs(3, ch, 3, gt, gt)
+    d += conv_macs(ch, ch * 2, 4, gt // 2, gt // 2)
+    d += conv_macs(ch * 2, ch * 4, 4, gt // 4, gt // 4)
+    d += conv_macs(ch * 4, ch * 8, 4, gt // 8, gt // 8)
+    d += conv_macs(ch * 8, ch * 4, 3, gt // 4, gt // 4)
+    d += conv_macs(ch * 4, ch * 2, 3, gt // 2, gt // 2)
+    d += conv_macs(ch * 2, ch, 3, gt, gt)
+    d += 2 * conv_macs(ch, ch, 3, gt, gt) + conv_macs(ch, 1, 3, gt, gt)
+    step_macs = batch * (3 * g + 3 * 2 * d + 2 * g + 3 * d)
+    flops = 2 * step_macs
+    x4_util = 2.5 * 4.80343228416e12 / 312e12
+    return {
+        "step_tflops": flops / 1e12,
+        "a100_anchor_steps_per_sec_at_x4_util": round(312e12 * x4_util / flops, 3),
+    }
+
+
 def bench_step_flops(batch: int = 16, gt: int = 128, upscale: int = 4,
                      ch: int = 64, gc: int = 32, nb: int = 23) -> dict:
     """MACs for one full GAN step of the bench config."""
