@@ -67,6 +67,23 @@ def _pad_to_multiple(img: np.ndarray, mult: int) -> tuple[np.ndarray, int, int]:
     return img, h, w
 
 
+def _auto_drain_chunks(n: int) -> list[int]:
+    """Measured backlog-drain ladder (docs/tpu_performance.md round 3,
+    v5e 256px bsrgan_x4): per-dispatch cost makes batch-16 beat N singles
+    from N>=15, batch-8 from N>=8, while batches 2-6 sit in a 40% conv-
+    tiling valley — so drain 16s while >=15 remain, then at most one 8,
+    then singles. Compiles at most {16, 8, 1} x buckets programs."""
+    out: list[int] = []
+    while n >= 15:
+        out.append(16)
+        n -= min(n, 16)
+    if n >= 8:
+        out.append(8)
+        n -= 8
+    out.extend([1] * n)
+    return out
+
+
 class ServingEngine:
     """Resident model + compiled-program cache + request statistics."""
 
@@ -81,7 +98,7 @@ class ServingEngine:
         tile: int = 0,
         tile_overlap: int = 16,
         bucket: int = 0,
-        batch: int = 1,
+        batch: int | str = 1,
         attn_chunk: int = 0,
         attn_backend: str = "chunked",
         spatial_shard: bool = False,
@@ -107,7 +124,7 @@ class ServingEngine:
         kwargs.update(model_kwargs or {})
         self.model = create_model(arch, **kwargs)
         self.bucket = int(bucket)
-        self.batch = max(1, int(batch))
+        self.batch = "auto" if batch == "auto" else max(1, int(batch))
         self.tile = int(tile)
         self.tile_overlap = int(tile_overlap)
         self.self_ensemble = bool(self_ensemble)
@@ -208,7 +225,7 @@ class ServingEngine:
         back to ``sr_array``.
         """
         per_frame = (
-            self.batch <= 1
+            (self.batch != "auto" and self.batch <= 1)
             or self.tile
             or self.self_ensemble
             or self.spatial_mesh is not None
@@ -224,11 +241,17 @@ class ServingEngine:
         out: list[np.ndarray | None] = [None] * len(imgs)
         for shape, idxs in groups.items():
             self._compiled.add(shape)
-            for k in range(0, len(idxs), self.batch):
-                chunk = idxs[k : k + self.batch]
+            if self.batch == "auto":
+                plan = _auto_drain_chunks(len(idxs))
+            else:
+                plan = [self.batch] * -(-len(idxs) // self.batch)
+            pos = 0
+            for bsz in plan:
+                chunk = idxs[pos : pos + bsz]
+                pos += bsz
                 stack = np.stack([padded[i][0] for i in chunk])
-                if len(chunk) < self.batch:  # ragged tail: repeat-pad
-                    pad = np.repeat(stack[-1:], self.batch - len(chunk), axis=0)
+                if len(chunk) < bsz:  # ragged tail: repeat-pad
+                    pad = np.repeat(stack[-1:], bsz - len(chunk), axis=0)
                     stack = np.concatenate([stack, pad], axis=0)
                 sr = np.asarray(self._apply(self.params, jnp.asarray(stack)))
                 for j, i in enumerate(chunk):
@@ -492,9 +515,13 @@ def main() -> None:
     ap.add_argument("--poll-interval", type=float, default=0.5)
     ap.add_argument("--bucket", type=int, default=0,
                     help="pad inputs to multiples of this (<= #buckets compiles); 0 = exact shapes")
-    ap.add_argument("--batch", type=int, default=1,
+    ap.add_argument("--batch", default="1",
                     help="watch mode: drain backlogs in batched dispatches of this size "
-                    "(same-bucket frames stack into one device call; tails repeat-pad)")
+                    "(same-bucket frames stack into one device call; tails repeat-pad). "
+                    "'auto' = the measured drain ladder (16s, then one 8, then "
+                    "singles) — throughput is NON-MONOTONE in batch on v5e: 8/16 "
+                    "beat batch-1 per frame but 2-6 lose up to 40% "
+                    "(docs/tpu_performance.md round 3)")
     ap.add_argument("--warmup", default="", help="pre-compile shapes, e.g. 256x256,512x512")
     ap.add_argument("--half", action="store_true")
     ap.add_argument("--quant-int8", action="store_true")

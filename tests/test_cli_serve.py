@@ -239,3 +239,35 @@ def test_spatial_shard_trans_engine_uses_ring_attention():
     b = sharded.sr_array(img)
     assert a.shape == b.shape
     np.testing.assert_allclose(a[8:-8], b[8:-8], atol=2e-3)
+
+
+def test_auto_drain_ladder_batches(engine, tmp_path):
+    """--batch auto: backlogs drain through the measured ladder (16s,
+    then at most one 8, then singles — docs/tpu_performance.md round 3),
+    never dispatching the 2-6 conv-tiling valley; outputs match the
+    per-frame engine."""
+    import cv2
+
+    from srganfd_tpu.cli.serve import _auto_drain_chunks
+
+    # the ladder itself: no 2-7 dispatch ever planned
+    for n in range(1, 64):
+        plan = _auto_drain_chunks(n)
+        assert all(b in (1, 8, 16) for b in plan), (n, plan)
+        assert sum(plan) >= n and sum(plan) - n < 16, (n, plan)
+
+    auto = ServingEngine("rrdbnet_x4", model_kwargs=TINY, bucket=16, batch="auto")
+    auto.params = engine.params
+    in_dir, out_a, out_p = tmp_path / "in", tmp_path / "out_a", tmp_path / "out_p"
+    in_dir.mkdir()
+    n = 9  # -> one batch-8 + one single per the ladder
+    for i in range(n):
+        _write_png(in_dir / f"f{i}.png", h=20, w=24, seed=i)
+    assert serve_watch(auto, str(in_dir), str(out_a), once=True) == n
+    assert serve_watch(engine, str(in_dir), str(out_p), once=True) == n
+    for i in range(n):
+        a = cv2.imread(str(out_a / f"f{i}.png"))
+        b = cv2.imread(str(out_p / f"f{i}.png"))
+        assert a.shape == b.shape == (80, 96, 3)
+        np.testing.assert_allclose(a.astype(np.float32), b.astype(np.float32), atol=1.0)
+    assert auto.stats()["served"] == n

@@ -27,9 +27,13 @@ Run on the real chip: python tools/batched_infer_profile.py
 from __future__ import annotations
 
 import json
+import pathlib
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
 def main() -> None:
