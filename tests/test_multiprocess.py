@@ -253,3 +253,42 @@ def test_two_process_spatial_shard_ppermute():
         "cross-process ppermute produced different bits than the "
         "single-process mesh"
     )
+
+
+def test_two_process_ring_attention_cp():
+    """Cross-process context parallelism: BSRGANtrans serving via
+    spatial_sharded_sr with ring attention on a 2-process mesh — the K/V
+    ring's ppermute rotations cross the Gloo boundary every step. Workers
+    self-assert the ring-vs-shard-local correctness property; outputs
+    must be digest-identical across processes and vs the single-process
+    mesh (data movement only, no reduction-order allowance)."""
+    worker = REPO / "tests" / "mp_cp_worker.py"
+
+    ref_proc = subprocess.Popen(
+        [sys.executable, str(worker), "unused", "0", "1"],
+        env=_worker_env(8), cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    ref = _parse(ref_proc, ref_proc.communicate(timeout=900)[0])
+
+    addr = f"127.0.0.1:{_free_port()}"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), addr, str(i), "2"],
+            env=_worker_env(4), cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    results = {}
+    for p, out in zip(procs, outs):
+        r = _parse(p, out)
+        results[r["proc"]] = r
+
+    assert set(results) == {0, 1}
+    assert results[0]["digest"] == results[1]["digest"]
+    assert results[0]["digest"] == ref["digest"], (
+        "cross-process K/V ring produced different bits than the "
+        "single-process mesh"
+    )
