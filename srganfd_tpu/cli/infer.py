@@ -244,6 +244,11 @@ def main() -> None:
     if args.weights:
         payload = ckpt.load_checkpoint(args.weights)
         key = "ema_g_params" if args.use_ema else "g_params"
+        if args.use_ema:
+            from srganfd_tpu.cli.test import warn_if_young_ema
+
+            # decay: infer has no config; use the common default 0.999
+            warn_if_young_ema(payload, 0.999)
         params = payload["state"][key]
     else:
         print("! no --weights given: using randomly initialized parameters")

@@ -520,7 +520,7 @@ def main() -> None:
                     "(same-bucket frames stack into one device call; tails repeat-pad). "
                     "'auto' = the measured drain ladder (16s, then one 8, then "
                     "singles) — throughput is NON-MONOTONE in batch on v5e: 8/16 "
-                    "beat batch-1 per frame but 2-6 lose up to 40% "
+                    "beat batch-1 per frame but 2-6 lose up to 40%% "
                     "(docs/tpu_performance.md round 3)")
     ap.add_argument("--warmup", default="", help="pre-compile shapes, e.g. 256x256,512x512")
     ap.add_argument("--half", action="store_true")

@@ -48,6 +48,26 @@ def select_niqe_impl(impl: str, module_available: bool, n_pixels: int) -> str:
     return "module" if n_pixels <= NIQE_AUTO_MODULE_MAX_PIXELS else "numpy"
 
 
+def warn_if_young_ema(payload: dict, decay: float) -> None:
+    """``--use-ema`` on a young checkpoint silently serves a model that is
+    still mostly its random init: our EMA is the CONVENTIONAL lerp from
+    the initial params (PARITY.md deviation 10 — the reference's inverted
+    "EMA" is ~the raw model and never exposes this), so after t steps the
+    init still carries decay^t of the weight. Warn when that exceeds 5%."""
+    try:
+        steps = int(payload["state"].get("step", 0))
+    except Exception:  # noqa: BLE001 — missing/odd metadata: stay quiet
+        return
+    init_w = float(decay) ** max(0, steps)
+    if init_w > 0.05:
+        print(
+            f"! --use-ema: EMA decay {decay} over only {steps} steps — the "
+            f"EMA still carries {init_w:.0%} of the INITIAL params; expect "
+            "degraded output until ~3/(1-decay) steps (use raw weights or "
+            "train longer)"
+        )
+
+
 def _pad_to_multiple(img: np.ndarray, mult: int) -> tuple[np.ndarray, int, int]:
     h, w = img.shape[:2]
     ph, pw = (-h) % mult, (-w) % mult
@@ -191,6 +211,8 @@ def run_eval(args) -> dict:
             if args.weights:
                 payload = ckpt.load_checkpoint(args.weights)
                 key = "ema_g_params" if args.use_ema else "g_params"
+                if args.use_ema:
+                    warn_if_young_ema(payload, cfg.model_ema_decay)
                 params = payload["state"][key]
             else:
                 print("! no --weights: randomly initialized generator")
@@ -247,13 +269,21 @@ def run_eval(args) -> dict:
                     f"{NIQE_AUTO_MODULE_MAX_PIXELS} px, using the numpy "
                     "niqe() (pass --niqe-impl module to force the torch twin)"
                 )
-            if sel == "module":
-                from srganfd_tpu.metrics.niqe_torch import niqe_torch_exact
+            try:
+                if sel == "module":
+                    from srganfd_tpu.metrics.niqe_torch import niqe_torch_exact
 
-                n_score = niqe_torch_exact(sr_np.astype(np.float32), niqe_model)
-            else:
-                n_score = niqe_mod.niqe(sr_np[..., ::-1] * 255.0, niqe_model)
-            niqes.append(n_score)
+                    n_score = niqe_torch_exact(sr_np.astype(np.float32), niqe_model)
+                else:
+                    n_score = niqe_mod.niqe(sr_np[..., ::-1] * 255.0, niqe_model)
+            except ValueError as e:
+                # e.g. too few 96px blocks on small SR frames — the
+                # reference NIQE divides by zero there; skip the frame's
+                # NIQE instead of aborting the whole eval
+                print(f"! NIQE skipped for this frame: {e}")
+                n_score = float("nan")
+            if np.isfinite(n_score):
+                niqes.append(n_score)
             extra = f"  NIQE {n_score:.3f}"
         print(f"[{i + 1}/{len(gt_paths)}] {gt_path}  PSNR {p:.2f}  SSIM {s:.4f}  LPIPS {l:.4f}{extra}")
         if args.save_images:
