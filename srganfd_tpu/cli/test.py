@@ -132,6 +132,15 @@ def main() -> None:
         "inverse mapping) before computing metrics — beyond the "
         "reference; typically +0.1-0.3 dB PSNR at 8x eval FLOPs",
     )
+    ap.add_argument(
+        "--tile", type=int, default=0,
+        help="evaluate via overlapping-tile SR (feathered stitch) instead "
+        "of whole-frame forwards — keeps transformer archs "
+        "(bsrgantrans/aesrgan) at their TRAINING token count on large "
+        "frames, where whole-frame attention is out-of-distribution; "
+        "0 = whole frame",
+    )
+    ap.add_argument("--tile-overlap", type=int, default=16)
     ap.add_argument("--tiny", action="store_true", help="shrink models (matches train --tiny)")
     ap.add_argument("--use-ema", action="store_true", help="evaluate the EMA generator instead of the raw one")
     ap.add_argument(
@@ -221,6 +230,15 @@ def run_eval(args) -> dict:
             from srganfd_tpu.ops.self_ensemble import self_ensemble_batched
 
             sr_img = jnp.asarray(self_ensemble_batched(apply_fn, params, lr_img))[None]
+        elif getattr(args, "tile", 0):
+            from srganfd_tpu.parallel.tiled_inference import tiled_sr
+
+            sr_img = jnp.asarray(
+                tiled_sr(
+                    apply_fn, params, np.asarray(lr_img), sf,
+                    tile=args.tile, overlap=args.tile_overlap,
+                )
+            )[None]
         else:
             sr_img = apply_fn(params, x)
         sr = _match_hw(sr_img, gt.shape[0], gt.shape[1])

@@ -119,3 +119,33 @@ def test_niqe_impl_auto_selection_rule():
     assert select_niqe_impl("auto", False, small) == "numpy"
     assert select_niqe_impl("module", True, big) == "module"
     assert select_niqe_impl("numpy", True, small) == "numpy"
+
+
+def test_tiled_eval_close_to_whole_frame(tmp_path, monkeypatch):
+    """--tile on the eval CLI: overlapping-tile SR with feathered stitch
+    must track whole-frame metrics for a conv model (receptive radius <=
+    overlap). Rationale: transformer archs evaluated on frames much
+    larger than their training crops run attention out-of-distribution —
+    tiling keeps the token count at training scale (cli/test.py --tile
+    help)."""
+    import cv2
+
+    from srganfd_tpu.cli.test import run_eval
+
+    rng = np.random.default_rng(0)
+    gt_dir = tmp_path / "gt"
+    gt_dir.mkdir()
+    for i in range(2):
+        img = cv2.resize(
+            rng.uniform(0, 1, (16, 16, 3)), (96, 96), interpolation=cv2.INTER_CUBIC
+        )
+        cv2.imwrite(str(gt_dir / f"g{i}.png"), (np.clip(img, 0, 1) * 255).astype(np.uint8))
+
+    def go(**kw):
+        return run_eval(_make_args(gt_dir=str(gt_dir), **kw))
+
+    monkeypatch.chdir(tmp_path)
+    whole = go()["avg"]
+    tiled = go(tile=48, tile_overlap=8)["avg"]
+    assert abs(whole["PSNR"] - tiled["PSNR"]) < 0.3, (whole, tiled)
+    assert abs(whole["SSIM"] - tiled["SSIM"]) < 0.02, (whole, tiled)
