@@ -47,6 +47,7 @@ import argparse
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -442,13 +443,74 @@ def serve_watch(
         time.sleep(poll_s)
 
 
+class _MicroBatcher:
+    """Cross-request dynamic batching for the HTTP transport.
+
+    Concurrent ``POST /sr`` requests enqueue their decoded frames; one
+    dispatcher thread drains the queue after a short collection window
+    and pushes the group through :meth:`ServingEngine.sr_batch` (which
+    applies the fixed size or the measured ``auto`` ladder). The single
+    device serializes compute anyway, so same-bucket frames in one
+    dispatch raise throughput; a lone request pays at most ``max_wait_ms``
+    extra latency (the window closes early when the queue is empty)."""
+
+    def __init__(self, engine: "ServingEngine", max_wait_ms: float = 8.0):
+        import queue
+
+        self.engine = engine
+        self.q: "queue.Queue" = queue.Queue()
+        self._queue_mod = queue
+        self.max_wait = max_wait_ms / 1e3
+        threading.Thread(target=self._loop, daemon=True).start()
+
+    def submit(self, img: np.ndarray) -> np.ndarray:
+        slot: dict = {"ev": threading.Event()}
+        self.q.put((img, slot))
+        slot["ev"].wait()
+        if "err" in slot:
+            raise RuntimeError(slot["err"])
+        return slot["out"]
+
+    def _loop(self) -> None:
+        while True:
+            item = self.q.get()
+            batch = [item]
+            deadline = time.perf_counter() + self.max_wait
+            while True:
+                rem = deadline - time.perf_counter()
+                if rem <= 0:
+                    break
+                try:
+                    batch.append(self.q.get(timeout=rem))
+                except self._queue_mod.Empty:
+                    break
+            try:
+                outs = self.engine.sr_batch([b[0] for b in batch])
+            except Exception as e:  # noqa: BLE001 — deliver to every waiter
+                for _, slot in batch:
+                    slot["err"] = f"{type(e).__name__}: {e}"
+                    slot["ev"].set()
+                continue
+            for (_, slot), out in zip(batch, outs):
+                slot["out"] = out
+                slot["ev"].set()
+
+
 def serve_http(engine: ServingEngine, port: int, host: str = "127.0.0.1") -> None:
     """Minimal stdlib HTTP server: POST /sr (image body, any cv2-decodable
-    format) -> PNG; GET /healthz, /stats. Single-threaded: the single
-    TPU serializes the compute path regardless."""
+    format) -> PNG; GET /healthz, /stats. With ``--batch`` (fixed > 1 or
+    'auto') the server threads per request and a :class:`_MicroBatcher`
+    groups concurrent frames into single device dispatches; otherwise it
+    stays single-threaded (the single TPU serializes compute either way).
+    """
     import http.server
 
     import cv2
+
+    batching = engine.batch == "auto" or (
+        isinstance(engine.batch, int) and engine.batch > 1
+    )
+    batcher = _MicroBatcher(engine) if batching else None
 
     class Handler(http.server.BaseHTTPRequestHandler):
         def log_message(self, fmt, *a):  # quiet: stats cover observability
@@ -481,7 +543,13 @@ def serve_http(engine: ServingEngine, port: int, host: str = "127.0.0.1") -> Non
                 self._send(400, b"undecodable image", "text/plain")
                 return
             t0 = time.perf_counter()
-            sr = engine.sr_array(np.asarray(img[..., ::-1], np.float32) / 255.0)
+            rgb = np.asarray(img[..., ::-1], np.float32) / 255.0
+            try:
+                sr = batcher.submit(rgb) if batcher is not None else engine.sr_array(rgb)
+            except RuntimeError as e:
+                engine.failed += 1
+                self._send(500, str(e).encode(), "text/plain")
+                return
             sr8 = np.clip(sr * 255.0, 0, 255).astype(np.uint8)
             ok, buf = cv2.imencode(".png", sr8[..., ::-1])
             if not ok:
@@ -492,8 +560,15 @@ def serve_http(engine: ServingEngine, port: int, host: str = "127.0.0.1") -> Non
             engine.latencies_ms.append((time.perf_counter() - t0) * 1e3)
             self._send(200, buf.tobytes(), "image/png")
 
-    with http.server.HTTPServer((host, port), Handler) as srv:
-        print(f"serving on http://{host}:{port} (POST /sr)", file=sys.stderr, flush=True)
+    server_cls = (
+        http.server.ThreadingHTTPServer if batcher is not None else http.server.HTTPServer
+    )
+    with server_cls((host, port), Handler) as srv:
+        mode = "micro-batched" if batcher is not None else "single-threaded"
+        print(
+            f"serving on http://{host}:{port} (POST /sr, {mode})",
+            file=sys.stderr, flush=True,
+        )
         try:
             srv.serve_forever()
         except KeyboardInterrupt:

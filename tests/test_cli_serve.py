@@ -271,3 +271,61 @@ def test_auto_drain_ladder_batches(engine, tmp_path):
         assert a.shape == b.shape == (80, 96, 3)
         np.testing.assert_allclose(a.astype(np.float32), b.astype(np.float32), atol=1.0)
     assert auto.stats()["served"] == n
+
+
+def test_http_micro_batching_concurrent_requests(engine):
+    """HTTP transport with --batch auto: concurrent POST /sr requests are
+    grouped by the micro-batcher into shared device dispatches; every
+    request gets its own correct-size PNG and the stats count them all."""
+    import http.client
+    import threading as _t
+
+    import cv2
+
+    from srganfd_tpu.cli.serve import serve_http
+
+    eng = ServingEngine("rrdbnet_x4", model_kwargs=TINY, bucket=16, batch="auto")
+    eng.params = engine.params
+
+    import socket
+    import time as _time
+    import urllib.request as _url
+
+    with socket.socket() as sck:
+        sck.bind(("127.0.0.1", 0))
+        port = sck.getsockname()[1]
+    server = _t.Thread(target=serve_http, args=(eng, port), daemon=True)
+    server.start()
+    for _ in range(200):
+        try:
+            with _url.urlopen(f"http://127.0.0.1:{port}/healthz", timeout=1) as r:
+                assert r.read() == b"ok"
+            break
+        except Exception:
+            _time.sleep(0.05)
+    else:
+        raise AssertionError("server did not come up")
+
+    img = (np.random.default_rng(0).uniform(0, 1, (20, 24, 3)) * 255).astype(np.uint8)
+    ok_, buf = cv2.imencode(".png", img)
+    assert ok_
+    body = buf.tobytes()
+
+    results = [None] * 9
+
+    def post(i):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("POST", "/sr", body=body)
+        r = conn.getresponse()
+        data = r.read()
+        sr = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+        results[i] = (r.status, None if sr is None else sr.shape)
+        conn.close()
+
+    threads = [_t.Thread(target=post, args=(i,)) for i in range(9)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    assert all(r == (200, (80, 96, 3)) for r in results), results
+    assert eng.stats()["served"] == 9
