@@ -61,7 +61,9 @@ def _arm_watchdog(seconds: float, emitted: list) -> threading.Event:
     """The axon TPU tunnel can wedge on a stale claim (single-tenant
     grant); if the bench cannot produce its numbers in time, emit sentinel
     JSON lines for every config not yet reported instead of hanging the
-    driver."""
+    driver. Exit code: 0 when the HEADLINE (first) config was measured
+    before the timeout (a partial run with a real headline is a success),
+    2 when even that is missing."""
     done = threading.Event()
 
     def watch() -> None:
@@ -80,7 +82,7 @@ def _arm_watchdog(seconds: float, emitted: list) -> threading.Event:
                         ),
                         flush=True,
                     )
-            os._exit(2)
+            os._exit(0 if CONFIGS[0]["metric"] in emitted else 2)
 
     threading.Thread(target=watch, daemon=True).start()
     return done
@@ -127,7 +129,7 @@ def _bench_one(c: dict) -> float:
 
 def main() -> None:
     emitted: list[str] = []
-    done = _arm_watchdog(float(os.environ.get("BENCH_TIMEOUT_S", "2400")), emitted)
+    done = _arm_watchdog(float(os.environ.get("BENCH_TIMEOUT_S", "3600")), emitted)
     for c in CONFIGS:
         steps_per_sec = _bench_one(c)
         emitted.append(c["metric"])

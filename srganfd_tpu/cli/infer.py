@@ -135,6 +135,23 @@ def _maybe_ensemble(run_one, img: np.ndarray, enabled: bool) -> np.ndarray:
     return self_ensemble(run_one, img)
 
 
+def _family_ema_decay(arch: str) -> float:
+    """EMA decay of the config family that trains ``arch`` (the ESRGAN
+    families use 0.99998, whose EMA warms up 50x slower than 0.999 — a
+    hardcoded default would silently skip the young-EMA warning exactly
+    where it matters most). Falls back to 0.999 for unknown archs."""
+    from srganfd_tpu import configs
+
+    for name in configs._KNOWN:
+        try:
+            cfg = configs.get_config(name)
+        except Exception:  # noqa: BLE001 — a config needing env vars etc.
+            continue
+        if cfg.g_arch == arch:
+            return float(cfg.model_ema_decay)
+    return 0.999
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description="srganfd_tpu single-image inference")
     ap.add_argument("--model-arch", "--model_arch_name", dest="arch", default="rrdbnet_x4")
@@ -245,10 +262,7 @@ def main() -> None:
         payload = ckpt.load_checkpoint(args.weights)
         key = "ema_g_params" if args.use_ema else "g_params"
         if args.use_ema:
-            from srganfd_tpu.cli.test import warn_if_young_ema
-
-            # decay: infer has no config; use the common default 0.999
-            warn_if_young_ema(payload, 0.999)
+            ckpt.warn_if_young_ema(payload, _family_ema_decay(args.arch))
         params = payload["state"][key]
     else:
         print("! no --weights given: using randomly initialized parameters")

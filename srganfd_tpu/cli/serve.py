@@ -68,6 +68,19 @@ def _pad_to_multiple(img: np.ndarray, mult: int) -> tuple[np.ndarray, int, int]:
     return img, h, w
 
 
+def _batch_arg(v: str):
+    """argparse type for --batch: 'auto' or a positive int."""
+    if v == "auto":
+        return v
+    try:
+        n = int(v)
+    except ValueError:
+        raise argparse.ArgumentTypeError(f"--batch must be an int or 'auto', got {v!r}")
+    if n < 1:
+        raise argparse.ArgumentTypeError("--batch must be >= 1")
+    return n
+
+
 def _auto_drain_chunks(n: int) -> list[int]:
     """Measured backlog-drain ladder (docs/tpu_performance.md round 3,
     v5e 256px bsrgan_x4): per-dispatch cost makes batch-16 beat N singles
@@ -447,12 +460,12 @@ class _MicroBatcher:
     """Cross-request dynamic batching for the HTTP transport.
 
     Concurrent ``POST /sr`` requests enqueue their decoded frames; one
-    dispatcher thread drains the queue after a short collection window
-    and pushes the group through :meth:`ServingEngine.sr_batch` (which
-    applies the fixed size or the measured ``auto`` ladder). The single
-    device serializes compute anyway, so same-bucket frames in one
-    dispatch raise throughput; a lone request pays at most ``max_wait_ms``
-    extra latency (the window closes early when the queue is empty)."""
+    dispatcher thread groups them and pushes the group through
+    :meth:`ServingEngine.sr_batch`, whose ``auto`` ladder sizes the
+    dispatches (singles for sparse traffic — a lone request is a plain
+    batch-1 forward). A request that arrives alone dispatches
+    IMMEDIATELY; only when a burst is already queued does the dispatcher
+    hold the window open up to ``max_wait_ms`` to let stragglers join."""
 
     def __init__(self, engine: "ServingEngine", max_wait_ms: float = 8.0):
         import queue
@@ -475,15 +488,16 @@ class _MicroBatcher:
         while True:
             item = self.q.get()
             batch = [item]
-            deadline = time.perf_counter() + self.max_wait
-            while True:
-                rem = deadline - time.perf_counter()
-                if rem <= 0:
-                    break
-                try:
-                    batch.append(self.q.get(timeout=rem))
-                except self._queue_mod.Empty:
-                    break
+            if not self.q.empty():  # burst in flight: let stragglers join
+                deadline = time.perf_counter() + self.max_wait
+                while True:
+                    rem = deadline - time.perf_counter()
+                    if rem <= 0:
+                        break
+                    try:
+                        batch.append(self.q.get(timeout=rem))
+                    except self._queue_mod.Empty:
+                        break
             try:
                 outs = self.engine.sr_batch([b[0] for b in batch])
             except Exception as e:  # noqa: BLE001 — deliver to every waiter
@@ -507,10 +521,10 @@ def serve_http(engine: ServingEngine, port: int, host: str = "127.0.0.1") -> Non
 
     import cv2
 
-    batching = engine.batch == "auto" or (
-        isinstance(engine.batch, int) and engine.batch > 1
-    )
-    batcher = _MicroBatcher(engine) if batching else None
+    stats_lock = threading.Lock()  # handler threads share the counters
+    # micro-batching requires the auto ladder: a fixed --batch N would
+    # repeat-pad a lone request to a full batch-N dispatch (N x compute).
+    batcher = _MicroBatcher(engine) if engine.batch == "auto" else None
 
     class Handler(http.server.BaseHTTPRequestHandler):
         def log_message(self, fmt, *a):  # quiet: stats cover observability
@@ -539,7 +553,8 @@ def serve_http(engine: ServingEngine, port: int, host: str = "127.0.0.1") -> Non
             raw = np.frombuffer(self.rfile.read(n), np.uint8)
             img = cv2.imdecode(raw, cv2.IMREAD_COLOR)
             if img is None:
-                engine.failed += 1
+                with stats_lock:
+                    engine.failed += 1
                 self._send(400, b"undecodable image", "text/plain")
                 return
             t0 = time.perf_counter()
@@ -547,17 +562,20 @@ def serve_http(engine: ServingEngine, port: int, host: str = "127.0.0.1") -> Non
             try:
                 sr = batcher.submit(rgb) if batcher is not None else engine.sr_array(rgb)
             except RuntimeError as e:
-                engine.failed += 1
+                with stats_lock:
+                    engine.failed += 1
                 self._send(500, str(e).encode(), "text/plain")
                 return
             sr8 = np.clip(sr * 255.0, 0, 255).astype(np.uint8)
             ok, buf = cv2.imencode(".png", sr8[..., ::-1])
             if not ok:
-                engine.failed += 1
+                with stats_lock:
+                    engine.failed += 1
                 self._send(500, b"encode failed", "text/plain")
                 return
-            engine.served += 1
-            engine.latencies_ms.append((time.perf_counter() - t0) * 1e3)
+            with stats_lock:
+                engine.served += 1
+                engine.latencies_ms.append((time.perf_counter() - t0) * 1e3)
             self._send(200, buf.tobytes(), "image/png")
 
     server_cls = (
@@ -590,13 +608,17 @@ def main() -> None:
     ap.add_argument("--poll-interval", type=float, default=0.5)
     ap.add_argument("--bucket", type=int, default=0,
                     help="pad inputs to multiples of this (<= #buckets compiles); 0 = exact shapes")
-    ap.add_argument("--batch", default="1",
-                    help="watch mode: drain backlogs in batched dispatches of this size "
-                    "(same-bucket frames stack into one device call; tails repeat-pad). "
-                    "'auto' = the measured drain ladder (16s, then one 8, then "
-                    "singles) — throughput is NON-MONOTONE in batch on v5e: 8/16 "
-                    "beat batch-1 per frame but 2-6 lose up to 40%% "
-                    "(docs/tpu_performance.md round 3)")
+    ap.add_argument("--batch", default="1", type=_batch_arg,
+                    help="batched dispatch policy. Watch mode: drain backlogs in "
+                    "dispatches of this size (same-bucket frames stack into one "
+                    "device call; tails repeat-pad). 'auto' = the measured drain "
+                    "ladder (16s, then one 8, then singles) — throughput is "
+                    "NON-MONOTONE in batch on v5e: 8/16 beat batch-1 per frame "
+                    "but 2-6 lose up to 40%% (docs/tpu_performance.md round 3). "
+                    "HTTP mode: 'auto' additionally threads the server and "
+                    "micro-batches concurrent requests (fixed N leaves HTTP "
+                    "per-frame: padding lone requests to N would cost N x "
+                    "compute each)")
     ap.add_argument("--warmup", default="", help="pre-compile shapes, e.g. 256x256,512x512")
     ap.add_argument("--half", action="store_true")
     ap.add_argument("--quant-int8", action="store_true")

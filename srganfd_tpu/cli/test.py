@@ -48,26 +48,6 @@ def select_niqe_impl(impl: str, module_available: bool, n_pixels: int) -> str:
     return "module" if n_pixels <= NIQE_AUTO_MODULE_MAX_PIXELS else "numpy"
 
 
-def warn_if_young_ema(payload: dict, decay: float) -> None:
-    """``--use-ema`` on a young checkpoint silently serves a model that is
-    still mostly its random init: our EMA is the CONVENTIONAL lerp from
-    the initial params (PARITY.md deviation 10 — the reference's inverted
-    "EMA" is ~the raw model and never exposes this), so after t steps the
-    init still carries decay^t of the weight. Warn when that exceeds 5%."""
-    try:
-        steps = int(payload["state"].get("step", 0))
-    except Exception:  # noqa: BLE001 — missing/odd metadata: stay quiet
-        return
-    init_w = float(decay) ** max(0, steps)
-    if init_w > 0.05:
-        print(
-            f"! --use-ema: EMA decay {decay} over only {steps} steps — the "
-            f"EMA still carries {init_w:.0%} of the INITIAL params; expect "
-            "degraded output until ~3/(1-decay) steps (use raw weights or "
-            "train longer)"
-        )
-
-
 def _pad_to_multiple(img: np.ndarray, mult: int) -> tuple[np.ndarray, int, int]:
     h, w = img.shape[:2]
     ph, pw = (-h) % mult, (-w) % mult
@@ -221,11 +201,20 @@ def run_eval(args) -> dict:
                 payload = ckpt.load_checkpoint(args.weights)
                 key = "ema_g_params" if args.use_ema else "g_params"
                 if args.use_ema:
-                    warn_if_young_ema(payload, cfg.model_ema_decay)
+                    ckpt.warn_if_young_ema(
+                        payload, cfg.model_ema_decay,
+                        cfg.ema_reference_semantics,
+                    )
                 params = payload["state"][key]
             else:
                 print("! no --weights: randomly initialized generator")
                 params = model.init(jax.random.PRNGKey(0), x)["params"]
+        if getattr(args, "self_ensemble", False) and getattr(args, "tile", 0):
+            raise SystemExit(
+                "--self-ensemble and --tile cannot combine (the ensemble "
+                "runs whole-frame forwards, defeating --tile's "
+                "in-distribution token count)"
+            )
         if getattr(args, "self_ensemble", False):
             from srganfd_tpu.ops.self_ensemble import self_ensemble_batched
 

@@ -386,3 +386,27 @@ def load_pretrained_params(
     if with_d_vars:
         return state[key], state.get("d_vars")
     return state[key]
+
+def warn_if_young_ema(
+    payload: dict, decay: float, reference_semantics: bool = False
+) -> None:
+    """``--use-ema`` on a young checkpoint silently serves a model that is
+    still mostly its random init: the conventional EMA lerps from the
+    initial params (PARITY.md deviation 10), so after t steps the init
+    still carries decay^t of the weight. Warn when that exceeds 5%.
+    Under ``ema_reference_semantics`` the EMA is ~the raw model (inverted
+    lerp + first-update copy) and never young — no warning."""
+    if reference_semantics:
+        return
+    try:
+        steps = int(payload["state"].get("step", 0))
+    except Exception:  # noqa: BLE001 — missing/odd metadata: stay quiet
+        return
+    init_w = float(decay) ** max(0, steps)
+    if init_w > 0.05:
+        print(
+            f"! --use-ema: EMA decay {decay} over only {steps} steps — the "
+            f"EMA still carries {init_w:.0%} of the INITIAL params; expect "
+            "degraded output until ~3/(1-decay) steps (use raw weights or "
+            "train longer)"
+        )
