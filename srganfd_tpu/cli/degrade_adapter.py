@@ -82,7 +82,7 @@ class DegradationAdapter:
                 cfg.upscale_factor,
                 jpeg_prob=cfg.degradation_params.get("jpeg_prob", 0.9),
                 scale2_prob=cfg.degradation_params.get("scale2_prob", 0.25),
-                per_sample_order=cfg.degradation_params.get("per_sample_order", False),
+                per_sample_order=cfg.degradation_params.get("per_sample_order", True),
             )
             if not self.train:
                 gt = jnp.asarray(host_batch["gt"])

@@ -21,10 +21,12 @@ the gather+einsum MATLAB bicubic.
 
 Faithfulness deviations (documented, distribution-preserving):
 - The two blur slots commute (linear convolution), so only the JPEG
-  position within the 3-op shuffle matters; by default it is sampled
-  uniformly per *batch* (one DiffJPEG application); set
-  ``per_sample_order=True`` in the plan (or degradation_params) for the
-  reference's literal per-sample placement at 3x the JPEG cost.
+  position within the 3-op shuffle matters. By DEFAULT the slot is
+  sampled per sample exactly like the reference's per-sample shuffle
+  (``per_sample_order=True``; three masked DiffJPEG applications).
+  ``per_sample_order=False`` is an opt-out speed mode that samples one
+  slot per *batch* (one DiffJPEG application — saves ~0.8 ms of a 66 ms
+  hardware step, docs/tpu_performance.md).
 - JPEG quantization uses DiffJPEG rather than cv2's entropy-coded codec
   (same transform/quantization; no entropy coding, which is lossless).
 """
@@ -67,6 +69,10 @@ class BsrganPlan:
     scale2: bool  # per-batch 1/2 pre-downscale (sf==4 only)
     scale2_interp: int  # 0 = MATLAB bicubic, else cv2 flag 1/2/3
     effective_upscale: int
+    # the raw sampled blur decisions behind kernels_a/kernels_b (two
+    # tuples of sample_bsrgan_blur_params dicts), kept for distributional
+    # verification (tests/test_plan_distributions.py)
+    blur_params: tuple = ()
 
 
 def plan_bsrgan_batch(
@@ -75,28 +81,31 @@ def plan_bsrgan_batch(
     upscale_factor: int,
     jpeg_prob: float = 0.9,
     scale2_prob: float = 0.25,
-    per_sample_order: bool = False,
+    per_sample_order: bool = True,
     **_unused,
 ) -> BsrganPlan:
     """Sample all chain randomness for one batch (host side).
 
-    ``per_sample_order=True`` samples the mid-JPEG's slot position per
-    sample like the reference's per-sample shuffle (costs 3 masked
-    DiffJPEG applications per batch instead of 1)."""
-    ka = np.stack(
-        [
-            kernels.pad_kernel(kernels.bsrgan_random_blur_kernel(rng, upscale_factor), _KPAD)
-            for _ in range(batch_size)
-        ]
-    ).astype(np.float32)
-    kb = np.stack(
-        [
-            kernels.pad_kernel(kernels.bsrgan_random_blur_kernel(rng, upscale_factor), _KPAD)
-            for _ in range(batch_size)
-        ]
-    ).astype(np.float32)
+    ``per_sample_order=True`` (default) samples the mid-JPEG's slot
+    position per sample like the reference's per-sample shuffle;
+    ``False`` is the opt-out speed mode (one slot per batch, one DiffJPEG
+    application instead of 3 masked ones)."""
     scale2 = bool(upscale_factor == 4 and rng.random() < scale2_prob)
     scale2_interp = int(rng.choice([1, 2, 3])) if (scale2 and rng.random() < 0.5) else 0
+    # the reference rebinds upscale_factor to 2 after the pre-downscale
+    # (``BSRGAN/imgproc.py:511``) BEFORE the shuffle runs, so ``_add_blur``'s
+    # width parameters wd/wd2 scale with the EFFECTIVE factor — sampling
+    # kernels at the original factor would blur pre-halved batches ~17%
+    # too wide (caught by tests/test_plan_distributions.py)
+    effective = 2 if scale2 else upscale_factor
+    pa = tuple(kernels.sample_bsrgan_blur_params(rng, effective) for _ in range(batch_size))
+    pb = tuple(kernels.sample_bsrgan_blur_params(rng, effective) for _ in range(batch_size))
+    ka = np.stack(
+        [kernels.pad_kernel(kernels.build_bsrgan_blur_kernel(p), _KPAD) for p in pa]
+    ).astype(np.float32)
+    kb = np.stack(
+        [kernels.pad_kernel(kernels.build_bsrgan_blur_kernel(p), _KPAD) for p in pb]
+    ).astype(np.float32)
     return BsrganPlan(
         kernels_a=ka,
         kernels_b=kb,
@@ -110,7 +119,8 @@ def plan_bsrgan_batch(
         final_jpeg_quality=rng.integers(30, 96, size=batch_size).astype(np.float32),
         scale2=scale2,
         scale2_interp=scale2_interp,
-        effective_upscale=2 if scale2 else upscale_factor,
+        effective_upscale=effective,
+        blur_params=(pa, pb),
     )
 
 

@@ -20,11 +20,15 @@ from scipy import special
 __all__ = [
     "fspecial_gaussian",
     "anisotropic_gaussian",
+    "sample_bsrgan_blur_params",
+    "build_bsrgan_blur_kernel",
     "bsrgan_random_blur_kernel",
     "bivariate_gaussian",
     "bivariate_generalized_gaussian",
     "bivariate_plateau",
     "sinc_kernel",
+    "sample_mixed_kernel_params",
+    "build_mixed_kernel",
     "random_mixed_kernel",
     "pad_kernel",
 ]
@@ -63,19 +67,38 @@ def anisotropic_gaussian(ksize: int, theta: float, l1: float, l2: float) -> np.n
     return k / k.sum()
 
 
-def bsrgan_random_blur_kernel(rng: np.random.Generator, upscale_factor: int) -> np.ndarray:
-    """One random blur kernel with the `_add_blur` distribution
-    (``BSRGAN/imgproc.py:211-225``): 50% anisotropic with eigenvalues
-    U(0, 4+sf), else isotropic fspecial with sigma U(0, 2+0.2sf);
-    ksize = 2*randint(2,11)+3 in both cases."""
+def sample_bsrgan_blur_params(rng: np.random.Generator, upscale_factor: int) -> dict:
+    """Sample the `_add_blur` decision set (``BSRGAN/imgproc.py:211-225``):
+    50% anisotropic with eigenvalues U(0, 4+sf) and theta U(0, pi), else
+    isotropic fspecial with sigma U(0, 2+0.2sf); ksize = 2*randint(2,11)+3
+    in both cases. Exposed separately from the kernel build so the
+    decision distributions are directly comparable against the executed
+    reference (tests/test_plan_distributions.py)."""
     wd = 2.0 + 0.2 * upscale_factor
     wd2 = 4.0 + upscale_factor
     ksize = 2 * int(rng.integers(2, 12)) + 3  # randint(2,11) inclusive
     if rng.random() < 0.5:
-        return anisotropic_gaussian(
-            ksize, rng.random() * np.pi, wd2 * rng.random(), wd2 * rng.random()
-        )
-    return fspecial_gaussian(ksize, wd * rng.random())
+        return {
+            "kind": "aniso",
+            "ksize": ksize,
+            "theta": rng.random() * np.pi,
+            "l1": wd2 * rng.random(),
+            "l2": wd2 * rng.random(),
+        }
+    return {"kind": "iso", "ksize": ksize, "sigma": wd * rng.random()}
+
+
+def build_bsrgan_blur_kernel(p: dict) -> np.ndarray:
+    """Deterministic kernel build from :func:`sample_bsrgan_blur_params`."""
+    if p["kind"] == "aniso":
+        return anisotropic_gaussian(p["ksize"], p["theta"], p["l1"], p["l2"])
+    return fspecial_gaussian(p["ksize"], p["sigma"])
+
+
+def bsrgan_random_blur_kernel(rng: np.random.Generator, upscale_factor: int) -> np.ndarray:
+    """One random blur kernel with the `_add_blur` distribution
+    (``BSRGAN/imgproc.py:211-225``)."""
+    return build_bsrgan_blur_kernel(sample_bsrgan_blur_params(rng, upscale_factor))
 
 
 # --- Real-ESRGAN kernel family ----------------------------------------------
@@ -147,6 +170,66 @@ def sinc_kernel(cutoff: float, size: int, pad_to: int = 0) -> np.ndarray:
     return k
 
 
+def _mixture_beta(rng: np.random.Generator, beta_range: tuple[float, float]) -> float:
+    """The reference's beta draw (``Real_ESRGAN/imgproc.py:414-417,
+    473-476``) is a 50/50 MIXTURE of U(beta_min, 1) and U(1, beta_max) —
+    NOT flat-uniform over the range. For the config's generalized range
+    (0.5, 4) flat sampling would put only 1/7 of the mass below 1 instead
+    of half; for the plateau range (1, 2) the reference's lower piece
+    degenerates to exactly beta=1 for half the draws."""
+    if rng.random() < 0.5:
+        return float(rng.uniform(beta_range[0], 1.0))
+    return float(rng.uniform(1.0, beta_range[1]))
+
+
+def sample_mixed_kernel_params(
+    rng: np.random.Generator,
+    kernel_size: int,
+    kernel_types: tuple[str, ...],
+    kernel_probs: tuple[float, ...],
+    sigma_range: tuple[float, float],
+    beta_g_range: tuple[float, float],
+    beta_p_range: tuple[float, float],
+) -> dict:
+    """Sample the ``random_mixed_kernels`` decision set
+    (``Real_ESRGAN/imgproc.py:495-576``): kernel family by probability,
+    sigmas/rotation uniform, beta via the reference's two-piece mixture."""
+    kind = rng.choice(len(kernel_types), p=np.asarray(kernel_probs) / np.sum(kernel_probs))
+    kind = kernel_types[int(kind)]
+    p = {
+        "kind": kind,
+        "ksize": kernel_size,
+        "sigma_x": float(rng.uniform(*sigma_range)),
+        "sigma_y": float(rng.uniform(*sigma_range)),
+        "theta": float(rng.uniform(-np.pi, np.pi)),
+    }
+    if kind.startswith("generalized"):
+        p["beta"] = _mixture_beta(rng, beta_g_range)
+    elif kind.startswith("plateau"):
+        p["beta"] = _mixture_beta(rng, beta_p_range)
+    return p
+
+
+def build_mixed_kernel(p: dict) -> np.ndarray:
+    """Deterministic kernel build from :func:`sample_mixed_kernel_params`.
+    Isotropic families use sigma_x only (the reference never consumes
+    sigma_y/theta on those branches — ``Real_ESRGAN/imgproc.py:362-364``)."""
+    kind, size, sx = p["kind"], p["ksize"], p["sigma_x"]
+    if kind == "isotropic":
+        return bivariate_gaussian(size, sx)
+    if kind == "anisotropic":
+        return bivariate_gaussian(size, sx, p["sigma_y"], p["theta"])
+    if kind == "generalized_isotropic":
+        return bivariate_generalized_gaussian(size, sx, None, 0.0, p["beta"])
+    if kind == "generalized_anisotropic":
+        return bivariate_generalized_gaussian(size, sx, p["sigma_y"], p["theta"], p["beta"])
+    if kind == "plateau_isotropic":
+        return bivariate_plateau(size, sx, None, 0.0, p["beta"])
+    if kind == "plateau_anisotropic":
+        return bivariate_plateau(size, sx, p["sigma_y"], p["theta"], p["beta"])
+    raise ValueError(f"unknown kernel type {kind}")
+
+
 def random_mixed_kernel(
     rng: np.random.Generator,
     kernel_size: int,
@@ -157,26 +240,13 @@ def random_mixed_kernel(
     beta_p_range: tuple[float, float],
 ) -> np.ndarray:
     """Real-ESRGAN ``random_mixed_kernels`` dispatcher
-    (``Real_ESRGAN/imgproc.py:495-576``): choose a kernel family by
-    probability, sample its parameters uniformly."""
-    kind = rng.choice(len(kernel_types), p=np.asarray(kernel_probs) / np.sum(kernel_probs))
-    kind = kernel_types[int(kind)]
-    sx = rng.uniform(*sigma_range)
-    sy = rng.uniform(*sigma_range)
-    theta = rng.uniform(-np.pi, np.pi)
-    if kind == "isotropic":
-        return bivariate_gaussian(kernel_size, sx)
-    if kind == "anisotropic":
-        return bivariate_gaussian(kernel_size, sx, sy, theta)
-    if kind == "generalized_isotropic":
-        return bivariate_generalized_gaussian(kernel_size, sx, None, 0.0, rng.uniform(*beta_g_range))
-    if kind == "generalized_anisotropic":
-        return bivariate_generalized_gaussian(kernel_size, sx, sy, theta, rng.uniform(*beta_g_range))
-    if kind == "plateau_isotropic":
-        return bivariate_plateau(kernel_size, sx, None, 0.0, rng.uniform(*beta_p_range))
-    if kind == "plateau_anisotropic":
-        return bivariate_plateau(kernel_size, sx, sy, theta, rng.uniform(*beta_p_range))
-    raise ValueError(f"unknown kernel type {kind}")
+    (``Real_ESRGAN/imgproc.py:495-576``)."""
+    return build_mixed_kernel(
+        sample_mixed_kernel_params(
+            rng, kernel_size, kernel_types, kernel_probs,
+            sigma_range, beta_g_range, beta_p_range,
+        )
+    )
 
 
 def shift_pixel(x: np.ndarray, sf: int, upper_left: bool = True) -> np.ndarray:

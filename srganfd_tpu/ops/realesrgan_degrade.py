@@ -37,6 +37,8 @@ from srganfd_tpu.ops.resize import cv2_style_resize
 
 __all__ = [
     "RealEsrganPlan",
+    "sample_kernel_triple_params",
+    "build_kernel_triple",
     "sample_kernel_triple",
     "plan_realesrgan_batch",
     "apply_realesrgan_batch",
@@ -44,24 +46,26 @@ __all__ = [
 ]
 
 
-def sample_kernel_triple(
-    rng: np.random.Generator, p: dict
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Per-sample (kernel1, kernel2, sinc_kernel) with the reference's
-    distributions (``Real_ESRGAN/dataset.py:55-133``): random odd size from
-    ``gaussian_kernel_range``; sinc with probability else mixed-Gaussian;
-    final sinc kernel with prob ``sinc_kernel_probability3`` else identity
-    pulse. All padded to 21x21."""
+def sample_kernel_triple_params(rng: np.random.Generator, p: dict) -> dict:
+    """Sample the per-sample kernel-synthesis decisions
+    (``Real_ESRGAN/dataset.py:55-133``): random odd size from
+    ``gaussian_kernel_range``; sinc with probability (omega's lower bound
+    pi/3 below the range's MEDIAN size, pi/5 at or above it —
+    ``dataset.py:68``) else mixed-Gaussian; final sinc kernel at a fresh
+    random size with prob ``sinc_kernel_probability3`` else None
+    (identity pulse)."""
     krange = list(p["gaussian_kernel_range"])
-    pad = int(p["sinc_kernel_size"])
+    median = int(np.median(krange))
 
-    def one(stage: int) -> np.ndarray:
+    def one(stage: int) -> dict:
         size = int(rng.choice(krange))
         if rng.random() < p[f"sinc_kernel_probability{stage}"]:
-            omega = rng.uniform(np.pi / 3 if size < 13 else np.pi / 5, np.pi)
-            k = kernels.sinc_kernel(omega, size)
-        else:
-            k = kernels.random_mixed_kernel(
+            omega = rng.uniform(np.pi / 3 if size < median else np.pi / 5, np.pi)
+            return {"size": size, "sinc": True, "omega": float(omega)}
+        return {
+            "size": size,
+            "sinc": False,
+            "mixed": kernels.sample_mixed_kernel_params(
                 rng,
                 size,
                 tuple(p["gaussian_kernel_type"]),
@@ -69,18 +73,56 @@ def sample_kernel_triple(
                 tuple(p[f"gaussian_sigma_range{stage}"]),
                 tuple(p[f"generalized_kernel_beta_range{stage}"]),
                 tuple(p[f"plateau_kernel_beta_range{stage}"]),
-            )
+            ),
+        }
+
+    out = {"k1": one(1), "k2": one(2), "sinc3": None}
+    if rng.random() < p["sinc_kernel_probability3"]:
+        out["sinc3"] = {
+            "size": int(rng.choice(krange)),
+            "omega": float(rng.uniform(np.pi / 3, np.pi)),
+        }
+    return out
+
+
+def build_kernel_triple(
+    params: dict, pad: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Deterministic build from :func:`sample_kernel_triple_params`; all
+    kernels center-padded to ``pad`` x ``pad``."""
+
+    def one(d: dict) -> np.ndarray:
+        if d["sinc"]:
+            k = kernels.sinc_kernel(d["omega"], d["size"])
+        else:
+            k = kernels.build_mixed_kernel(d["mixed"])
         return kernels.pad_kernel(k, pad).astype(np.float32)
 
-    k1 = one(1)
-    k2 = one(2)
-    if rng.random() < p["sinc_kernel_probability3"]:
-        omega = rng.uniform(np.pi / 3, np.pi)
-        sinc = kernels.sinc_kernel(omega, pad).astype(np.float32)
+    k1 = one(params["k1"])
+    k2 = one(params["k2"])
+    if params["sinc3"] is not None:
+        # the reference synthesizes the final sinc at a RANDOM odd size and
+        # pads it to sinc_kernel_size (``dataset.py:120-126``) — a size-7
+        # truncated sinc padded to 21 is a different filter than a size-21
+        # sinc, so the size draw is part of the distribution
+        sinc = kernels.sinc_kernel(
+            params["sinc3"]["omega"], params["sinc3"]["size"], pad_to=pad
+        ).astype(np.float32)
     else:
         sinc = np.zeros((pad, pad), np.float32)
         sinc[pad // 2, pad // 2] = 1.0
     return k1, k2, sinc
+
+
+def sample_kernel_triple(
+    rng: np.random.Generator, p: dict
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-sample (kernel1, kernel2, sinc_kernel) with the reference's
+    distributions (``Real_ESRGAN/dataset.py:55-133``), padded to
+    ``sinc_kernel_size``."""
+    return build_kernel_triple(
+        sample_kernel_triple_params(rng, p), int(p["sinc_kernel_size"])
+    )
 
 
 def _snap(v: float, lo: int = 16) -> int:
@@ -108,6 +150,13 @@ class RealEsrganPlan:
     noise2_is_poisson: np.ndarray
     noise2_gray: np.ndarray
     jpeg2_quality: np.ndarray
+    # raw sampled resize decisions before target-size snapping, kept for
+    # distributional verification (tests/test_plan_distributions.py):
+    # updown in {0: up, 1: down, 2: keep}
+    updown1: int = 2
+    scale1: float = 1.0
+    updown2: int = 2
+    scale2: float = 1.0
 
 
 def plan_realesrgan_batch(
@@ -122,16 +171,16 @@ def plan_realesrgan_batch(
     h, w = gt_size
 
     def pick_scale(probs, rng_range):
-        kind = rng.choice(3, p=np.asarray(probs) / np.sum(probs))
+        kind = int(rng.choice(3, p=np.asarray(probs) / np.sum(probs)))
         if kind == 0:  # up
-            return rng.uniform(1.0, rng_range[1])
+            return kind, float(rng.uniform(1.0, rng_range[1]))
         if kind == 1:  # down
-            return rng.uniform(rng_range[0], 1.0)
-        return 1.0
+            return kind, float(rng.uniform(rng_range[0], 1.0))
+        return kind, 1.0
 
-    s1 = pick_scale(p["resize_probability1"], p["resize_range1"])
+    ud1, s1 = pick_scale(p["resize_probability1"], p["resize_range1"])
     size1 = (_snap(h * s1), _snap(w * s1))
-    s2 = pick_scale(p["resize_probability2"], p["resize_range2"])
+    ud2, s2 = pick_scale(p["resize_probability2"], p["resize_range2"])
     out_h, out_w = h // upscale_factor, w // upscale_factor
     size2 = (_snap(out_h * upscale_factor * s2), _snap(out_w * upscale_factor * s2))
 
@@ -170,6 +219,10 @@ def plan_realesrgan_batch(
         noise2_is_poisson=n2[2],
         noise2_gray=n2[3],
         jpeg2_quality=jq2,
+        updown1=ud1,
+        scale1=s1,
+        updown2=ud2,
+        scale2=s2,
     )
 
 
