@@ -39,6 +39,15 @@ TPU-first serving behaviors:
     compose like the one-shot CLI.
   - request latency percentiles (p50/p95) and per-bucket compile counts
     are tracked and reported on shutdown (and at GET /stats).
+
+Overload limits (HTTP transport):
+  - POST bodies above ``--max-body-mb`` (default 64) are rejected with
+    413 before the body is read — a flood of oversized uploads cannot
+    balloon decoded-frame memory.
+  - with ``--batch auto`` the micro-batcher queue is bounded at
+    ``--max-queue`` requests (default 32); when it is full new requests
+    get 503 + Retry-After instead of queueing decoded float32 frames
+    without limit. GET /stats reports the rejection count.
 """
 
 from __future__ import annotations
@@ -116,6 +125,7 @@ class ServingEngine:
         attn_chunk: int = 0,
         attn_backend: str = "chunked",
         spatial_shard: bool = False,
+        cp_backend: str = "ring",
         model_kwargs: dict | None = None,
     ) -> None:
         import jax
@@ -156,14 +166,15 @@ class ServingEngine:
 
             self.spatial_mesh = make_mesh()
             if arch_accepts(arch, "ring_axis"):
-                # transformer bottleneck: run the attention as ring
-                # attention over the mesh so sharded serving stays exact
-                # (cp; parallel/ring_attention.py)
+                # transformer bottleneck: run the attention context-
+                # parallel over the mesh so sharded serving stays exact —
+                # ring (ppermute K/V, any count) or ulysses (head-sharded
+                # all-to-all, <= num_heads-way; parallel/ulysses.py)
                 self._spatial_halo += self._spatial_halo % 2
                 self._spatial_row_multiple = 2
                 self._spatial_model = create_model(
                     arch, ring_axis="data", ring_halo=self._spatial_halo,
-                    **kwargs,
+                    cp_backend=cp_backend, **kwargs,
                 )
         self._apply = jax.jit(lambda p, z: self.model.apply({"params": p}, z))
 
@@ -180,8 +191,13 @@ class ServingEngine:
 
         self.served = 0
         self.failed = 0
+        self.rejected = 0  # overload 503s (HTTP micro-batcher queue full)
         self.latencies_ms: list[float] = []
         self._compiled: set[tuple[int, int]] = set()
+        # guards the counters above AND _compiled: the HTTP transport is
+        # multi-threaded under --batch auto, so a GET /stats snapshot can
+        # race a dispatch adding a newly compiled shape (ADVICE r3)
+        self.stats_lock = threading.Lock()
 
     # -- core -------------------------------------------------------------
     def sr_array(self, img: np.ndarray) -> np.ndarray:
@@ -190,7 +206,8 @@ class ServingEngine:
         import jax.numpy as jnp
 
         padded, h, w = _pad_to_multiple(img, self.bucket)
-        self._compiled.add(padded.shape[:2])
+        with self.stats_lock:
+            self._compiled.add(padded.shape[:2])
         if self.spatial_mesh is not None:
             from srganfd_tpu.parallel.spatial import spatial_sharded_sr
 
@@ -254,7 +271,8 @@ class ServingEngine:
             groups.setdefault(p.shape[:2], []).append(i)
         out: list[np.ndarray | None] = [None] * len(imgs)
         for shape, idxs in groups.items():
-            self._compiled.add(shape)
+            with self.stats_lock:
+                self._compiled.add(shape)
             if self.batch == "auto":
                 plan = _auto_drain_chunks(len(idxs))
             else:
@@ -320,8 +338,9 @@ class ServingEngine:
         per_frame_ms = ms / max(1, len(live))
         for i in live:
             if replies[i]["ok"]:
-                self.served += 1
-                self.latencies_ms.append(per_frame_ms)
+                with self.stats_lock:
+                    self.served += 1
+                    self.latencies_ms.append(per_frame_ms)
                 replies[i]["ms"] = round(per_frame_ms, 2)
         return replies
 
@@ -340,8 +359,9 @@ class ServingEngine:
         if not cv2.imwrite(out_path, sr8[..., ::-1]):
             raise IOError(f"failed to encode {out_path}")
         ms = (time.perf_counter() - t0) * 1e3
-        self.served += 1
-        self.latencies_ms.append(ms)
+        with self.stats_lock:
+            self.served += 1
+            self.latencies_ms.append(ms)
         return {
             "output": out_path,
             "ms": round(ms, 2),
@@ -362,14 +382,18 @@ class ServingEngine:
         self.latencies_ms.clear()
 
     def stats(self) -> dict:
-        lat = sorted(self.latencies_ms)
+        with self.stats_lock:  # snapshot: handler threads mutate these
+            lat = sorted(self.latencies_ms)
+            served, failed, rejected = self.served, self.failed, self.rejected
+            compiled = sorted(self._compiled)
         pick = lambda q: round(lat[min(len(lat) - 1, int(q * len(lat)))], 2) if lat else None
         return {
-            "served": self.served,
-            "failed": self.failed,
+            "served": served,
+            "failed": failed,
+            "rejected": rejected,
             "p50_ms": pick(0.50),
             "p95_ms": pick(0.95),
-            "compiled_shapes": sorted(self._compiled),
+            "compiled_shapes": compiled,
             "upscale": self.upscale,
         }
 
@@ -456,6 +480,11 @@ def serve_watch(
         time.sleep(poll_s)
 
 
+class OverloadedError(RuntimeError):
+    """Raised by :meth:`_MicroBatcher.submit` when the bounded request
+    queue is full — the HTTP handler maps it to 503 + Retry-After."""
+
+
 class _MicroBatcher:
     """Cross-request dynamic batching for the HTTP transport.
 
@@ -465,20 +494,33 @@ class _MicroBatcher:
     dispatches (singles for sparse traffic — a lone request is a plain
     batch-1 forward). A request that arrives alone dispatches
     IMMEDIATELY; only when a burst is already queued does the dispatcher
-    hold the window open up to ``max_wait_ms`` to let stragglers join."""
+    hold the window open up to ``max_wait_ms`` to let stragglers join.
 
-    def __init__(self, engine: "ServingEngine", max_wait_ms: float = 8.0):
+    The queue is BOUNDED at ``max_queue`` waiting frames: each entry
+    holds a decoded float32 frame, so an unbounded queue would turn a
+    request flood into unbounded host memory. When full, ``submit``
+    raises :class:`OverloadedError` immediately (fail fast — the caller
+    turns it into a 503 the client can retry) rather than blocking the
+    handler thread."""
+
+    def __init__(self, engine: "ServingEngine", max_wait_ms: float = 8.0,
+                 max_queue: int = 32):
         import queue
 
         self.engine = engine
-        self.q: "queue.Queue" = queue.Queue()
+        self.q: "queue.Queue" = queue.Queue(maxsize=max(1, int(max_queue)))
         self._queue_mod = queue
         self.max_wait = max_wait_ms / 1e3
         threading.Thread(target=self._loop, daemon=True).start()
 
     def submit(self, img: np.ndarray) -> np.ndarray:
         slot: dict = {"ev": threading.Event()}
-        self.q.put((img, slot))
+        try:
+            self.q.put_nowait((img, slot))
+        except self._queue_mod.Full:
+            raise OverloadedError(
+                f"micro-batcher queue full ({self.q.maxsize} waiting)"
+            ) from None
         slot["ev"].wait()
         if "err" in slot:
             raise RuntimeError(slot["err"])
@@ -510,21 +552,37 @@ class _MicroBatcher:
                 slot["ev"].set()
 
 
-def serve_http(engine: ServingEngine, port: int, host: str = "127.0.0.1") -> None:
+def serve_http(
+    engine: ServingEngine,
+    port: int,
+    host: str = "127.0.0.1",
+    max_body_bytes: int = 64 * 1024 * 1024,
+    max_queue: int = 32,
+    should_stop=None,
+) -> None:
     """Minimal stdlib HTTP server: POST /sr (image body, any cv2-decodable
     format) -> PNG; GET /healthz, /stats. With ``--batch`` (fixed > 1 or
     'auto') the server threads per request and a :class:`_MicroBatcher`
     groups concurrent frames into single device dispatches; otherwise it
     stays single-threaded (the single TPU serializes compute either way).
+
+    Overload behavior: bodies over ``max_body_bytes`` get 413 without
+    being read; when the bounded micro-batcher queue (``max_queue``) is
+    full, requests get 503 + Retry-After and count as ``rejected`` in
+    GET /stats — memory stays bounded under a request flood.
     """
     import http.server
 
     import cv2
 
-    stats_lock = threading.Lock()  # handler threads share the counters
+    stats_lock = engine.stats_lock  # handler threads share the counters
     # micro-batching requires the auto ladder: a fixed --batch N would
     # repeat-pad a lone request to a full batch-N dispatch (N x compute).
-    batcher = _MicroBatcher(engine) if engine.batch == "auto" else None
+    batcher = (
+        _MicroBatcher(engine, max_queue=max_queue)
+        if engine.batch == "auto"
+        else None
+    )
 
     class Handler(http.server.BaseHTTPRequestHandler):
         def log_message(self, fmt, *a):  # quiet: stats cover observability
@@ -550,6 +608,17 @@ def serve_http(engine: ServingEngine, port: int, host: str = "127.0.0.1") -> Non
                 self._send(404, b"not found", "text/plain")
                 return
             n = int(self.headers.get("Content-Length", 0))
+            if n > max_body_bytes:
+                # reject BEFORE reading: an oversized upload never
+                # occupies host memory
+                with stats_lock:
+                    engine.rejected += 1
+                self._send(
+                    413,
+                    f"body {n} bytes > limit {max_body_bytes}".encode(),
+                    "text/plain",
+                )
+                return
             raw = np.frombuffer(self.rfile.read(n), np.uint8)
             img = cv2.imdecode(raw, cv2.IMREAD_COLOR)
             if img is None:
@@ -561,6 +630,17 @@ def serve_http(engine: ServingEngine, port: int, host: str = "127.0.0.1") -> Non
             rgb = np.asarray(img[..., ::-1], np.float32) / 255.0
             try:
                 sr = batcher.submit(rgb) if batcher is not None else engine.sr_array(rgb)
+            except OverloadedError as e:
+                with stats_lock:
+                    engine.rejected += 1
+                self.send_response(503)
+                body = str(e).encode()
+                self.send_header("Content-Type", "text/plain")
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Retry-After", "1")
+                self.end_headers()
+                self.wfile.write(body)
+                return
             except RuntimeError as e:
                 with stats_lock:
                     engine.failed += 1
@@ -587,6 +667,18 @@ def serve_http(engine: ServingEngine, port: int, host: str = "127.0.0.1") -> Non
             f"serving on http://{host}:{port} (POST /sr, {mode})",
             file=sys.stderr, flush=True,
         )
+        if should_stop is not None:
+            # SIGTERM drain: the signal handler only sets a flag (nothing
+            # http.server-safe can run in signal context); this watcher
+            # turns the flag into a clean shutdown — in-flight handlers
+            # finish, then serve_forever returns (found live: without it,
+            # SIGTERM left the HTTP daemon running)
+            def watch():
+                while not should_stop():
+                    time.sleep(0.2)
+                srv.shutdown()
+
+            threading.Thread(target=watch, daemon=True).start()
         try:
             srv.serve_forever()
         except KeyboardInterrupt:
@@ -632,6 +724,17 @@ def main() -> None:
     )
     ap.add_argument("--attn-chunk", type=int, default=0)
     ap.add_argument("--attn-backend", choices=["chunked", "flash"], default="chunked")
+    ap.add_argument(
+        "--cp-backend", choices=["ring", "ulysses"], default="ring",
+        help="--spatial-shard transformer attention collective: ring "
+        "(ppermute K/V, any device count) or ulysses (head-sharded "
+        "all-to-all, capped at the 4-head count)",
+    )
+    ap.add_argument("--max-body-mb", type=int, default=64,
+                    help="HTTP: reject POST bodies larger than this with 413")
+    ap.add_argument("--max-queue", type=int, default=32,
+                    help="HTTP --batch auto: bound the micro-batcher queue; "
+                    "overflow requests get 503 + Retry-After")
     args = ap.parse_args()
 
     if args.device == "cpu":
@@ -648,6 +751,7 @@ def main() -> None:
         batch=args.batch,
         attn_chunk=args.attn_chunk, attn_backend=args.attn_backend,
         spatial_shard=args.spatial_shard,
+        cp_backend=args.cp_backend,
     )
     if args.warmup:
         shapes = [tuple(int(v) for v in s.split("x")) for s in args.warmup.split(",")]
@@ -677,7 +781,12 @@ def main() -> None:
                 once=args.once, should_stop=lambda: stop["flag"],
             )
         else:
-            serve_http(engine, args.port)
+            serve_http(
+                engine, args.port,
+                max_body_bytes=args.max_body_mb * 1024 * 1024,
+                max_queue=args.max_queue,
+                should_stop=lambda: stop["flag"],
+            )
     finally:
         print(json.dumps({"final_stats": engine.stats()}), file=sys.stderr, flush=True)
 

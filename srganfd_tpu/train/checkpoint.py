@@ -399,7 +399,7 @@ def warn_if_young_ema(
     if reference_semantics:
         return
     try:
-        steps = int(payload["state"].get("step", 0))
+        steps = int(payload["state"]["step"])
     except Exception:  # noqa: BLE001 — missing/odd metadata: stay quiet
         return
     init_w = float(decay) ** max(0, steps)

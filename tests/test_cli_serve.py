@@ -329,3 +329,170 @@ def test_http_micro_batching_concurrent_requests(engine):
         t.join(timeout=180)
     assert all(r == (200, (80, 96, 3)) for r in results), results
     assert eng.stats()["served"] == 9
+
+
+def test_http_should_stop_drains_server(engine):
+    """serve_http must honor the SIGTERM drain flag: once should_stop
+    returns True the server shuts down and the serving thread exits
+    (before this fix the HTTP transport ignored the flag entirely)."""
+    import socket
+    import threading as _t
+    import time as _time
+    import urllib.request as _url
+
+    from srganfd_tpu.cli.serve import serve_http
+
+    with socket.socket() as sck:
+        sck.bind(("127.0.0.1", 0))
+        port = sck.getsockname()[1]
+    flag = {"stop": False}
+    th = _t.Thread(
+        target=serve_http, args=(engine, port),
+        kwargs={"should_stop": lambda: flag["stop"]}, daemon=True,
+    )
+    th.start()
+    for _ in range(200):
+        try:
+            with _url.urlopen(f"http://127.0.0.1:{port}/healthz", timeout=1) as r:
+                assert r.read() == b"ok"
+            break
+        except Exception:
+            _time.sleep(0.05)
+    else:
+        raise AssertionError("server did not come up")
+    flag["stop"] = True
+    th.join(timeout=10)
+    assert not th.is_alive()
+
+
+def test_micro_batcher_bounded_queue_rejects_when_full():
+    """The micro-batcher queue is BOUNDED: with the dispatcher stuck in a
+    device call and the queue full, a new submit fails fast with
+    OverloadedError instead of growing host memory without limit."""
+    import threading as _t
+    import time as _time
+
+    from srganfd_tpu.cli.serve import OverloadedError, _MicroBatcher
+
+    entered = _t.Event()
+    release = _t.Event()
+
+    class _StuckEngine:
+        def sr_batch(self, imgs):
+            entered.set()
+            release.wait(timeout=30)
+            return [im * 2 for im in imgs]
+
+    mb = _MicroBatcher(_StuckEngine(), max_queue=2)
+    frame = np.zeros((4, 4, 3), np.float32)
+
+    outs = {}
+    waiters = [
+        _t.Thread(target=lambda i=i: outs.update({i: mb.submit(frame)}))
+        for i in range(3)
+    ]
+    waiters[0].start()
+    assert entered.wait(timeout=30)  # dispatcher now stuck inside sr_batch
+    for w in waiters[1:]:
+        w.start()
+    for _ in range(100):  # wait for both waiters to occupy the queue
+        if mb.q.full():
+            break
+        _time.sleep(0.02)
+    assert mb.q.full()
+    with pytest.raises(OverloadedError, match="queue full"):
+        mb.submit(frame)
+    release.set()
+    for w in waiters:
+        w.join(timeout=30)
+    assert sorted(outs) == [0, 1, 2]  # queued requests all served after drain
+
+
+def test_http_overload_503_and_body_cap(engine):
+    """HTTP under flood: oversized POST bodies get 413 WITHOUT being
+    read; when the bounded micro-batcher queue overflows, requests get
+    503 + Retry-After; /stats counts every rejection and memory-holding
+    work stays bounded at max_queue + in-flight."""
+    import http.client
+    import socket
+    import threading as _t
+    import time as _time
+    import urllib.request as _url
+
+    import cv2
+
+    from srganfd_tpu.cli.serve import serve_http
+
+    eng = ServingEngine("rrdbnet_x4", model_kwargs=TINY, bucket=16, batch="auto")
+    eng.params = engine.params
+
+    # gate the device call so the flood deterministically overflows the
+    # tiny queue while the dispatcher is busy
+    release = _t.Event()
+    real_sr_batch = eng.sr_batch
+
+    def slow_sr_batch(imgs):
+        release.wait(timeout=60)
+        return real_sr_batch(imgs)
+
+    eng.sr_batch = slow_sr_batch
+
+    with socket.socket() as sck:
+        sck.bind(("127.0.0.1", 0))
+        port = sck.getsockname()[1]
+    _t.Thread(
+        target=serve_http, args=(eng, port),
+        kwargs={"max_body_bytes": 64 * 1024, "max_queue": 2}, daemon=True,
+    ).start()
+    for _ in range(200):
+        try:
+            with _url.urlopen(f"http://127.0.0.1:{port}/healthz", timeout=1) as r:
+                assert r.read() == b"ok"
+            break
+        except Exception:
+            _time.sleep(0.05)
+    else:
+        raise AssertionError("server did not come up")
+
+    # 1) body cap: a 128 KiB body against the 64 KiB limit -> 413
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request("POST", "/sr", body=b"\0" * (128 * 1024))
+    r = conn.getresponse()
+    assert r.status == 413
+    r.read()
+    conn.close()
+
+    # 2) queue flood: 8 concurrent frames against max_queue=2
+    img = (np.random.default_rng(0).uniform(0, 1, (20, 24, 3)) * 255).astype(np.uint8)
+    ok_, buf = cv2.imencode(".png", img)
+    assert ok_
+    body = buf.tobytes()
+    statuses = [None] * 8
+    retry_after = []
+
+    def post(i):
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        c.request("POST", "/sr", body=body)
+        resp = c.getresponse()
+        resp.read()
+        statuses[i] = resp.status
+        if resp.status == 503:
+            retry_after.append(resp.getheader("Retry-After"))
+        c.close()
+
+    threads = [_t.Thread(target=post, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    _time.sleep(2.0)  # flood lands while the dispatcher is gated
+    release.set()
+    for t in threads:
+        t.join(timeout=180)
+
+    served = statuses.count(200)
+    rejected = statuses.count(503)
+    assert served + rejected == 8, statuses
+    assert rejected >= 1 and served >= 1, statuses
+    assert all(ra == "1" for ra in retry_after)
+    stats = eng.stats()
+    assert stats["served"] == served
+    assert stats["rejected"] == rejected + 1  # + the 413
