@@ -20,7 +20,13 @@ utilization. vs_baseline > 5.0 on the headline meets the north star for
 any x4 anchor <= 3.0 steps/s.
 
 Prints one JSON line per config:
-  {"metric": ..., "value": N, "unit": "steps/sec", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "steps/sec", "vs_baseline": N,
+   "tflops": N, "mfu": N, "spread": N}
+where value is the mean over MEASURE_WINDOWS independent timed windows,
+``tflops`` = achieved TFLOP/s (step FLOPs from ``tools/torch_anchor.py``
+x steps/s), ``mfu`` = fraction of the v5e bf16 peak (197 TFLOP/s), and
+``spread`` = (max-min)/mean across the windows — the run-to-run
+variability the anchor comparison has to absorb.
 """
 
 from __future__ import annotations
@@ -41,6 +47,8 @@ CONFIGS = [
         "batch": 16,
         # documented estimate, see module docstring + BASELINE.md
         "anchor_steps_per_sec": 2.5,
+        # conv MACs enumerated by tools/torch_anchor.bench_step_flops
+        "step_tflops": 4.80,
     },
     {
         "metric": "bsrgan_x2 GAN train steps/sec/chip (batch 16, 144px GT — thesis shape)",
@@ -50,11 +58,15 @@ CONFIGS = [
         "batch": 16,
         # same derived A100 utilization applied to 16.36 TFLOPs/step
         "anchor_steps_per_sec": 0.73,
+        # tools/torch_anchor.bench_step_flops_x2
+        "step_tflops": 16.36,
     },
 ]
 
 WARMUP_STEPS = 3
 MEASURE_STEPS = 20
+MEASURE_WINDOWS = 3  # independent timed windows -> mean + spread
+V5E_BF16_PEAK_TFLOPS = 197.0
 
 
 def _arm_watchdog(seconds: float, emitted: list) -> threading.Event:
@@ -88,7 +100,7 @@ def _arm_watchdog(seconds: float, emitted: list) -> threading.Event:
     return done
 
 
-def _bench_one(c: dict) -> float:
+def _bench_one(c: dict) -> list[float]:
     import jax
     import jax.numpy as jnp
 
@@ -120,19 +132,23 @@ def _bench_one(c: dict) -> float:
         state, metrics = step(state, gt, lr)
     jax.block_until_ready(metrics["g_loss"])
 
-    t0 = time.perf_counter()
-    for _ in range(MEASURE_STEPS):
-        state, metrics = step(state, gt, lr)
-    jax.block_until_ready(metrics["g_loss"])
-    return MEASURE_STEPS / (time.perf_counter() - t0)
+    rates = []
+    for _ in range(MEASURE_WINDOWS):
+        t0 = time.perf_counter()
+        for _ in range(MEASURE_STEPS):
+            state, metrics = step(state, gt, lr)
+        jax.block_until_ready(metrics["g_loss"])
+        rates.append(MEASURE_STEPS / (time.perf_counter() - t0))
+    return rates
 
 
 def main() -> None:
     emitted: list[str] = []
     done = _arm_watchdog(float(os.environ.get("BENCH_TIMEOUT_S", "3600")), emitted)
     for c in CONFIGS:
-        steps_per_sec = _bench_one(c)
-        emitted.append(c["metric"])
+        rates = _bench_one(c)
+        steps_per_sec = sum(rates) / len(rates)
+        achieved_tflops = steps_per_sec * c["step_tflops"]
         print(
             json.dumps(
                 {
@@ -140,10 +156,18 @@ def main() -> None:
                     "value": round(steps_per_sec, 4),
                     "unit": "steps/sec",
                     "vs_baseline": round(steps_per_sec / c["anchor_steps_per_sec"], 4),
+                    "tflops": round(achieved_tflops, 2),
+                    "mfu": round(achieved_tflops / V5E_BF16_PEAK_TFLOPS, 4),
+                    "spread": round((max(rates) - min(rates)) / steps_per_sec, 4),
+                    "windows": [round(r, 3) for r in rates],
                 }
             ),
             flush=True,
         )
+        # append only after the line is on stdout: if the watchdog fires in
+        # between, it must still emit a sentinel rather than report success
+        # for a metric that never printed (ADVICE r3)
+        emitted.append(c["metric"])
     done.set()
 
 
