@@ -135,11 +135,13 @@ def _maybe_ensemble(run_one, img: np.ndarray, enabled: bool) -> np.ndarray:
     return self_ensemble(run_one, img)
 
 
-def _family_ema_decay(arch: str) -> float:
-    """EMA decay of the config family that trains ``arch`` (the ESRGAN
-    families use 0.99998, whose EMA warms up 50x slower than 0.999 — a
-    hardcoded default would silently skip the young-EMA warning exactly
-    where it matters most). Falls back to 0.999 for unknown archs."""
+def _family_ema_decay(arch: str) -> tuple[float, bool]:
+    """(EMA decay, ema_reference_semantics) of the config family that
+    trains ``arch`` (the ESRGAN families use 0.99998, whose EMA warms up
+    50x slower than 0.999 — a hardcoded default would silently skip the
+    young-EMA warning exactly where it matters most; reference-semantics
+    EMAs are never young, so the flag must travel with the decay or the
+    warning misfires). Falls back to (0.999, False) for unknown archs."""
     from srganfd_tpu import configs
 
     for name in configs._KNOWN:
@@ -148,8 +150,10 @@ def _family_ema_decay(arch: str) -> float:
         except Exception:  # noqa: BLE001 — a config needing env vars etc.
             continue
         if cfg.g_arch == arch:
-            return float(cfg.model_ema_decay)
-    return 0.999
+            return float(cfg.model_ema_decay), bool(
+                getattr(cfg, "ema_reference_semantics", False)
+            )
+    return 0.999, False
 
 
 def main() -> None:
@@ -217,6 +221,12 @@ def main() -> None:
         "(XLA query-block sweep) or 'flash' (Pallas online-softmax "
         "kernel, scores stay in VMEM; TPU-optimized)",
     )
+    ap.add_argument(
+        "--cp-backend", choices=["ring", "ulysses"], default="ring",
+        help="--spatial-shard transformer attention collective: ring "
+        "(ppermute K/V, any device count) or ulysses (head-sharded "
+        "all-to-all, capped at the 4-head count)",
+    )
     args = ap.parse_args()
 
     choice_device(args.device)
@@ -262,7 +272,8 @@ def main() -> None:
         payload = ckpt.load_checkpoint(args.weights)
         key = "ema_g_params" if args.use_ema else "g_params"
         if args.use_ema:
-            ckpt.warn_if_young_ema(payload, _family_ema_decay(args.arch))
+            decay, ref_semantics = _family_ema_decay(args.arch)
+            ckpt.warn_if_young_ema(payload, decay, ref_semantics)
         params = payload["state"][key]
     else:
         print("! no --weights given: using randomly initialized parameters")
@@ -324,7 +335,8 @@ def main() -> None:
             halo += halo % 2
             row_multiple = 2
             shard_model = create_model(
-                args.arch, ring_axis="data", ring_halo=halo, **kwargs
+                args.arch, ring_axis="data", ring_halo=halo,
+                cp_backend=args.cp_backend, **kwargs
             )
 
         def run_one(im):

@@ -564,11 +564,14 @@ class TransformerEncoderLayer(nn.Module):
     """torch ``nn.TransformerEncoderLayer`` defaults: post-LN, MHA, ReLU
     MLP with dim_feedforward=2048, dropout 0.1 (off when deterministic).
 
-    ``ring_axis``: run the attention as ring attention over that mesh
-    axis (context parallelism — the token axis is sharded across devices
-    and K/V blocks rotate via ppermute; ``parallel/ring_attention.py``).
-    ``kv_valid`` then masks which local tokens this shard contributes as
-    keys (halo duplicates off). Only meaningful inside ``shard_map``.
+    ``ring_axis``: run the attention context-parallel over that mesh
+    axis (the token axis is sharded across devices). ``cp_backend``
+    picks the collective pattern: ``"ring"`` rotates K/V blocks via
+    ppermute (``parallel/ring_attention.py``, any device count);
+    ``"ulysses"`` head-shards via two all-to-alls
+    (``parallel/ulysses.py``, capped at nhead-way). ``kv_valid`` masks
+    which local tokens this shard contributes as keys (halo duplicates
+    off) in either mode. Only meaningful inside ``shard_map``.
     """
 
     d_model: int
@@ -578,6 +581,7 @@ class TransformerEncoderLayer(nn.Module):
     dtype: Any = jnp.float32
     attn_chunk: int = 0  # >0: exact chunked attention (large-input mode)
     ring_axis: str | None = None
+    cp_backend: str = "ring"
 
     @nn.compact
     def __call__(
@@ -586,7 +590,11 @@ class TransformerEncoderLayer(nn.Module):
         deterministic: bool = True,
         kv_valid: jax.Array | None = None,
     ) -> jax.Array:
-        if self.ring_axis is not None:
+        if self.ring_axis is not None and self.cp_backend == "ulysses":
+            from srganfd_tpu.parallel.ulysses import ulysses_attention_fn
+
+            attention_fn = ulysses_attention_fn(self.ring_axis, kv_valid)
+        elif self.ring_axis is not None:
             from srganfd_tpu.parallel.ring_attention import ring_attention_fn
 
             attention_fn = ring_attention_fn(self.ring_axis, kv_valid)

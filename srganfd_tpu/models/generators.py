@@ -161,6 +161,9 @@ class BSRGANtrans(nn.Module):
     attn_chunk: int = 0
     ring_axis: str | None = None  # context parallelism (see docstring)
     ring_halo: int = 0
+    # cp collective pattern: "ring" (ppermute K/V, any device count) or
+    # "ulysses" (head-sharded all-to-all, capped at 4-way by the 4 heads)
+    cp_backend: str = "ring"
     quant: bool = False  # int8 PTQ trunk (serving only; ops/quant.py)
 
     @nn.compact
@@ -190,7 +193,7 @@ class BSRGANtrans(nn.Module):
         for _ in range(2):
             tokens = TransformerEncoderLayer(
                 c, 4, dtype=self.dtype, attn_chunk=self.attn_chunk,
-                ring_axis=self.ring_axis,
+                ring_axis=self.ring_axis, cp_backend=self.cp_backend,
             )(tokens, deterministic, kv_valid=kv_valid)
         out = tokens.reshape(n, h2, w2, c)
         out = lrelu(conv(self.channels)(upsample_nearest(out, 2)))
