@@ -140,6 +140,13 @@ def run_eval(args) -> dict:
         shrink = {"channels": 8, "growth_channels": 4}
         count_key = "num_blocks" if cfg.g_arch.startswith("rrdbnet") else "num_rrdb"
         cfg = cfg.replace(g_kwargs={**cfg.g_kwargs, **shrink, count_key: 1})
+    # programmatic overrides (tools/parity_table.py evaluates sibling archs
+    # — e.g. rrdbnet_x2 — under the family config, at ported sizes)
+    if getattr(args, "g_arch", ""):
+        sf_override = int(args.g_arch.rpartition("_x")[2] or cfg.upscale_factor)
+        cfg = cfg.replace(g_arch=args.g_arch, upscale_factor=sf_override)
+    if getattr(args, "g_kwargs", None):
+        cfg = cfg.replace(g_kwargs={**cfg.g_kwargs, **args.g_kwargs})
     model = create_model(cfg.g_arch, **cfg.g_kwargs)
     tracker = Tracker(cfg.experience_name or cfg.name, cfg.run_name, cfg.run_id,
                       samples_dir=cfg.samples_dir)
@@ -197,7 +204,11 @@ def run_eval(args) -> dict:
 
         x = jnp.asarray(lr_img)[None]
         if params is None:
-            if args.weights:
+            if args.weights and args.weights.endswith(".npz"):
+                # flat npz in the tools/port_torch_weights.py layout — a
+                # ported reference .pth.tar evaluates directly
+                params = ckpt.load_pretrained_params(args.weights)
+            elif args.weights:
                 payload = ckpt.load_checkpoint(args.weights)
                 key = "ema_g_params" if args.use_ema else "g_params"
                 if args.use_ema:
