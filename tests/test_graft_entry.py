@@ -45,6 +45,28 @@ def test_dryrun_multichip_driver_invocation():
     assert "dryrun_multichip(8) OK" in proc.stdout
 
 
+@pytest.mark.parametrize("n", [3, 6])
+def test_dryrun_multichip_other_counts(n):
+    """The dryrun contract must not silently depend on the 8-way shape
+    (VERDICT r3 #7): a non-power count (6 -> pp (2,3) mesh, 2-slice
+    hybrid) and an odd count (3 -> hybrid skipped, tp model=1, pp (1,3))
+    must both bootstrap their own virtual mesh and pass."""
+    import os
+    import subprocess
+
+    repo = str(pathlib.Path(__file__).resolve().parent.parent)
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, "__graft_entry__.py", str(n)],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert f"dryrun_multichip({n}) OK" in proc.stdout
+
+
 def test_entry_compiles_tiny():
     # entry() builds the full 23-block flagship; compile-check a traced
     # abstract evaluation instead of a real compile to keep the suite fast
