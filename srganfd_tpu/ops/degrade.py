@@ -50,6 +50,8 @@ __all__ = [
     "plan_bsrgan_batch",
     "apply_bsrgan_batch",
     "bsrgan_degradation",
+    "plan_bsrgan_plus",
+    "apply_bsrgan_plus",
     "bsrgan_degradation_plus",
 ]
 
@@ -349,6 +351,152 @@ def bsrgan_degradation(
     return apply_bsrgan_batch(images, plan)
 
 
+def plan_bsrgan_plus(
+    rng: np.random.Generator,
+    batch_size: int,
+    hw: tuple[int, int],
+    upscale_factor: int,
+    use_sharp: bool = True,
+    shuffle_prob: float = 0.1,
+    poisson_prob: float = 0.1,
+    speckle_prob: float = 0.1,
+) -> dict:
+    """Sample every random decision of ``degradation_process_plus``
+    (``BSRGAN/imgproc.py:565-623``) into a host-side plan.
+
+    Decisions, in the reference's walk order: full-vs-local shuffle of
+    the 11 op slots; per slot — blur kernel params
+    (:func:`sample_bsrgan_blur_params` per sample), ``_add_resize``'s
+    up/down/keep branch + scale + interp (target sizes planned by
+    tracking the image shape through the order, snapped to /8), additive
+    Gaussian level/branch (+ correlated covariance), Poisson gate + shot
+    level 10**(2U+2) + gray gate, speckle gate + level/branch, JPEG
+    qualities; then the final resize interp + JPEG quality. Every slot
+    produces one ops entry (skipped gates -> ``("noop",)``) so the
+    device key stream in :func:`apply_bsrgan_plus` splits once per slot
+    like the reference walk."""
+    n = batch_size
+    h, w = hw
+    full_shuffle = bool(rng.random() < shuffle_prob)
+    if full_shuffle:
+        order = [int(i) for i in rng.permutation(11)]
+    else:
+        order = list(range(11))
+        order[2:5] = [int(i) for i in rng.permutation(order[2:5])]
+        order[7:11] = [int(i) for i in rng.permutation(order[7:11])]
+
+    def noise_branch():
+        # branch probs (BSRGAN/imgproc.py:229-244, 263-280): color 0.4 /
+        # gray 0.4 / channel-correlated 0.2
+        sigma = rng.integers(2, 26, size=n).astype(np.float32) / 255.0
+        r = rng.random(n)
+        gray = (r < 0.4).astype(np.float32)
+        corr = (r > 0.8).astype(np.float32)
+        chol = sample_correlated_noise_chol(rng, n)
+        return sigma, gray, corr, chol
+
+    ops: list[tuple] = []
+    ch, cw = h, w
+    for i in order:
+        if i in (0, 6):
+            # kernels built at plan time through the same public sampler
+            # the base chain uses (its parameter distributions are pinned
+            # by tests/test_plan_distributions.py)
+            ops.append((
+                "blur",
+                np.stack(
+                    [kernels.pad_kernel(
+                        kernels.bsrgan_random_blur_kernel(rng, upscale_factor), _KPAD
+                    ) for _ in range(n)]
+                ).astype(np.float32),
+            ))
+        elif i in (1, 7):
+            # _add_resize (BSRGAN/imgproc.py:314-328): up U(1,2) p=0.2,
+            # down U(0.5/sf,1) p=0.7, keep p=0.1; random cv2 interp
+            r = rng.random()
+            if r > 0.8:
+                s = float(rng.uniform(1.0, 2.0))
+            elif r < 0.7:
+                s = float(rng.uniform(0.5 / upscale_factor, 1.0))
+            else:
+                ops.append(("noop",))
+                continue
+            oh = max(16, int(round(s * ch / 8.0)) * 8)
+            ow = max(16, int(round(s * cw / 8.0)) * 8)
+            ops.append(("resize", oh, ow, int(rng.choice([1, 2, 3])), s))
+            ch, cw = oh, ow
+        elif i in (2, 8):
+            ops.append(("gauss", *noise_branch()))
+        elif i in (3, 9):
+            if rng.random() < poisson_prob:
+                # shot-noise level 10**(2U+2) in [100, 10^4] per sample
+                # (``BSRGAN/imgproc.py:249``) — controls the SNR, so it
+                # must be sampled, not fixed
+                vals = (10.0 ** (2.0 * rng.random(n) + 2.0)).astype(np.float32)
+                gray = (rng.random(n) < 0.5).astype(np.float32)
+                ops.append(("poisson", vals, gray))
+            else:
+                ops.append(("noop",))
+        elif i in (4, 10):
+            if rng.random() < speckle_prob:
+                ops.append(("speckle", *noise_branch()))
+            else:
+                ops.append(("noop",))
+        elif i == 5:
+            ops.append(("jpeg", rng.integers(30, 96, size=n).astype(np.float32)))
+    return {
+        "use_sharp": use_sharp,
+        "full_shuffle": full_shuffle,
+        "order": order,
+        "ops": ops,
+        "final_size": (h // upscale_factor, w // upscale_factor),
+        "final_interp": int(rng.choice([1, 2, 3])),
+        "final_jpeg_quality": rng.integers(30, 96, size=n).astype(np.float32),
+    }
+
+
+def apply_bsrgan_plus(images: jax.Array, key: jax.Array, plan: dict) -> jax.Array:
+    """Run a :func:`plan_bsrgan_plus` plan on-device (one key split per
+    op slot, matching the planless implementation's stream)."""
+    from srganfd_tpu.ops.realesrgan_degrade import usm_sharp  # local: avoid cycle
+
+    n = images.shape[0]
+    x = images.astype(jnp.float32)
+    if plan["use_sharp"]:
+        x = usm_sharp(x)
+    for op in plan["ops"]:
+        key, sub = jax.random.split(key)
+        kind = op[0]
+        if kind == "noop":
+            continue
+        if kind == "blur":
+            x = filters.filter2d(x, jnp.asarray(op[1]))
+        elif kind == "resize":
+            x = jnp.clip(cv2_style_resize(x, (op[1], op[2]), op[3]), 0.0, 1.0)
+        elif kind == "gauss":
+            x = add_gaussian_noise(
+                x, sub, jnp.asarray(op[1]), jnp.asarray(op[2]),
+                jnp.asarray(op[4]), jnp.asarray(op[3]),
+            )
+        elif kind == "poisson":
+            x = add_poisson_noise(
+                x, sub, jnp.ones((n,), jnp.float32), jnp.asarray(op[2]),
+                vals=jnp.asarray(op[1]),
+            )
+        elif kind == "speckle":
+            x = add_speckle_noise(
+                x, sub, jnp.asarray(op[1]), jnp.asarray(op[2]),
+                jnp.asarray(op[4]), jnp.asarray(op[3]),
+            )
+        elif kind == "jpeg":
+            q = jnp.asarray(op[1])
+            # quality<=0 = skip sentinel (forced-decision chain goldens)
+            x = _masked_jpeg(x, jnp.maximum(q, 1.0), (q > 0).astype(x.dtype))
+    x = cv2_style_resize(x, plan["final_size"], plan["final_interp"])
+    q = jnp.asarray(plan["final_jpeg_quality"])
+    return _masked_jpeg(jnp.clip(x, 0.0, 1.0), jnp.maximum(q, 1.0), (q > 0).astype(x.dtype))
+
+
 def bsrgan_degradation_plus(
     images: jax.Array,
     rng: np.random.Generator,
@@ -363,7 +511,7 @@ def bsrgan_degradation_plus(
     """``degradation_process_plus`` (``BSRGAN/imgproc.py:565-623``): USM
     sharpen, 11-op chain — blur/resize/gauss/poisson/speckle/JPEG over two
     rounds with local (or full, p=shuffle_prob) shuffling — then final
-    resize to 1/sf + JPEG.
+    resize to 1/sf + JPEG. Plan + apply in one call.
 
     Op order is sampled per batch (the reference samples per sample; the
     chain is order-shuffled noise whose aggregate distribution this
@@ -371,92 +519,13 @@ def bsrgan_degradation_plus(
     Resizes inside the chain use the reference's random scales snapped to
     multiples of 8 so the program count stays bounded.
     """
-    from srganfd_tpu.ops.realesrgan_degrade import usm_sharp  # local: avoid cycle
-
     n, h, w, _ = images.shape
-    x = images.astype(jnp.float32)
-    if use_sharp:
-        x = usm_sharp(x)
-
-    if rng.random() < shuffle_prob:
-        order = list(rng.permutation(11))
-    else:
-        order = list(range(11))
-        order[2:5] = list(rng.permutation(order[2:5]))
-        order[7:11] = list(rng.permutation(order[7:11]))
-
-    def rand_kernels():
-        return jnp.asarray(
-            np.stack(
-                [
-                    kernels.pad_kernel(
-                        kernels.bsrgan_random_blur_kernel(rng, upscale_factor), _KPAD
-                    )
-                    for _ in range(n)
-                ]
-            ).astype(np.float32)
-        )
-
-    def rand_resize(img):
-        # _add_resize (BSRGAN/imgproc.py:314-328): up U(1,2) p=0.2,
-        # down U(0.5/sf,1) p=0.7, keep p=0.1; random cv2 interp.
-        r = rng.random()
-        if r > 0.8:
-            s = rng.uniform(1.0, 2.0)
-        elif r < 0.7:
-            s = rng.uniform(0.5 / upscale_factor, 1.0)
-        else:
-            return img
-        oh = max(16, int(round(s * img.shape[1] / 8.0)) * 8)
-        ow = max(16, int(round(s * img.shape[2] / 8.0)) * 8)
-        out = cv2_style_resize(img, (oh, ow), int(rng.choice([1, 2, 3])))
-        return jnp.clip(out, 0.0, 1.0)
-
-    for i in order:
-        key, sub = jax.random.split(key)
-        if i in (0, 6):
-            x = filters.filter2d(x, rand_kernels())
-        elif i in (1, 7):
-            x = rand_resize(x)
-        elif i in (2, 8):
-            sigma = jnp.asarray(
-                rng.integers(2, 26, size=n).astype(np.float32) / 255.0
-            )
-            # branch probs (BSRGAN/imgproc.py:229-244): color 0.4 / gray 0.4
-            # / channel-correlated 0.2
-            r = rng.random(n)
-            gray = jnp.asarray((r < 0.4).astype(np.float32))
-            corr_mask = jnp.asarray((r > 0.8).astype(np.float32))
-            chol = jnp.asarray(sample_correlated_noise_chol(rng, n))
-            x = add_gaussian_noise(x, sub, sigma, gray, chol, corr_mask)
-        elif i in (3, 9):
-            if rng.random() < poisson_prob:
-                scale = jnp.ones((n,), jnp.float32)
-                gray = jnp.asarray((rng.random(n) < 0.5).astype(np.float32))
-                x = add_poisson_noise(x, sub, scale, gray)
-        elif i in (4, 10):
-            if rng.random() < speckle_prob:
-                sigma = jnp.asarray(
-                    rng.integers(2, 26, size=n).astype(np.float32) / 255.0
-                )
-                gray = _gaussian_gray_mask(rng, n)
-                x = add_speckle_noise(x, sub, sigma, gray)
-        elif i == 5:
-            q = jnp.asarray(rng.integers(30, 96, size=n).astype(np.float32))
-            # quality<=0 = skip sentinel (forced-decision chain goldens)
-            x = _masked_jpeg(x, jnp.maximum(q, 1.0), (q > 0).astype(x.dtype))
-
-    x = cv2_style_resize(
-        x, (h // upscale_factor, w // upscale_factor), int(rng.choice([1, 2, 3]))
+    plan = plan_bsrgan_plus(
+        rng, n, (h, w), upscale_factor, use_sharp=use_sharp,
+        shuffle_prob=shuffle_prob, poisson_prob=poisson_prob,
+        speckle_prob=speckle_prob,
     )
-    q = jnp.asarray(rng.integers(30, 96, size=n).astype(np.float32))
-    return _masked_jpeg(jnp.clip(x, 0.0, 1.0), jnp.maximum(q, 1.0), (q > 0).astype(x.dtype))
-
-
-def _gaussian_gray_mask(rng: np.random.Generator, n: int) -> jax.Array:
-    """Speckle-noise branch probabilities (``BSRGAN/imgproc.py:263-270``):
-    gray p=0.4, (correlated-)color otherwise."""
-    return jnp.asarray((rng.random(n) < 0.4).astype(np.float32))
+    return apply_bsrgan_plus(images, key, plan)
 
 
 # ---------------------------------------------------------------------------
@@ -517,33 +586,57 @@ def sample_correlated_noise_chol(
 
 
 def add_poisson_noise(
-    x: jax.Array, key: jax.Array, scale: jax.Array, gray_mask: jax.Array
+    x: jax.Array,
+    key: jax.Array,
+    scale: jax.Array,
+    gray_mask: jax.Array,
+    vals: jax.Array | None = None,
 ) -> jax.Array:
-    """Real-ESRGAN-style Poisson (shot) noise: per-sample ``vals`` from the
-    unique-value heuristic is replaced by the torch implementation's
-    10**ceil(log10(levels)) approximation using 255 levels; noise is
-    (poisson(x*vals)/vals - x) * scale."""
+    """Poisson (shot) noise; noise is (poisson(x*vals)/vals - x) * scale.
+
+    ``vals`` (N,) sets the per-sample shot-noise level. Default: the torch
+    implementation's 10**ceil(log10(levels)) approximation at 255 levels
+    (=1000, the Real-ESRGAN chain's regime). The BSRGAN plus chain draws
+    it log-uniform 10**(2U+2) per sample (``BSRGAN/imgproc.py:249``) and
+    passes it in."""
     n = x.shape[0]
-    vals = 10.0 ** math.ceil(math.log10(256.0))  # 1000, matching 8-bit inputs
+    if vals is None:
+        vals = jnp.full((n,), 10.0 ** math.ceil(math.log10(256.0)), x.dtype)
+    v = vals[:, None, None, None]
     k1, k2 = jax.random.split(key)
     rounded = jnp.clip(jnp.round(x * 255.0), 0, 255) / 255.0
-    noisy = jax.random.poisson(k1, rounded * vals, x.shape).astype(x.dtype) / vals
+    noisy = jax.random.poisson(k1, rounded * v, x.shape).astype(x.dtype) / v
     noise_color = noisy - rounded
     gray_src = jnp.mean(rounded, axis=-1, keepdims=True)
-    noisy_gray = jax.random.poisson(k2, gray_src * vals, gray_src.shape).astype(x.dtype) / vals
+    noisy_gray = (
+        jax.random.poisson(k2, gray_src * v, gray_src.shape).astype(x.dtype) / v
+    )
     noise_gray = jnp.broadcast_to(noisy_gray - gray_src, x.shape)
     noise = jnp.where(gray_mask[:, None, None, None] > 0.5, noise_gray, noise_color)
     return jnp.clip(x + noise * scale[:, None, None, None], 0.0, 1.0)
 
 
 def add_speckle_noise(
-    x: jax.Array, key: jax.Array, sigma: jax.Array, gray_mask: jax.Array
+    x: jax.Array,
+    key: jax.Array,
+    sigma: jax.Array,
+    gray_mask: jax.Array,
+    corr_chol: jax.Array | None = None,
+    corr_mask: jax.Array | None = None,
 ) -> jax.Array:
-    """Multiplicative Gaussian noise (``BSRGAN/imgproc.py:263-280``)."""
+    """Multiplicative Gaussian noise (``BSRGAN/imgproc.py:263-280``).
+
+    Same three branches as the additive form: gray / color / channel-
+    correlated (``corr_chol`` (N,3,3) + ``corr_mask`` (N,), as in
+    :func:`add_gaussian_noise`); the noise multiplies the clipped image."""
     n, h, w, c = x.shape
     k1, k2 = jax.random.split(key)
     color = jax.random.normal(k1, (n, h, w, c), x.dtype)
     gray = jax.random.normal(k2, (n, h, w, 1), x.dtype)
     noise = jnp.where(gray_mask[:, None, None, None] > 0.5, gray, color)
+    noise = noise * sigma[:, None, None, None]
+    if corr_chol is not None and corr_mask is not None:
+        corr = jnp.einsum("nhwc,ndc->nhwd", color, corr_chol.astype(x.dtype))
+        noise = jnp.where(corr_mask[:, None, None, None] > 0.5, corr, noise)
     xc = jnp.clip(x, 0.0, 1.0)
-    return jnp.clip(xc + xc * noise * sigma[:, None, None, None], 0.0, 1.0)
+    return jnp.clip(xc + xc * noise, 0.0, 1.0)

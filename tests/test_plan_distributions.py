@@ -164,6 +164,153 @@ def test_bsrgan_blur_param_distributions(bsr4, bsr2):
 
 
 # ---------------------------------------------------------------------------
+# BSRGAN degradation_process_plus plan
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def plus():
+    from srganfd_tpu.ops.degrade import plan_bsrgan_plus
+
+    rng = np.random.default_rng(505)
+    n = len(REF["plus/full_shuffle"])
+    return [
+        plan_bsrgan_plus(
+            rng, 1, (64, 64), 4,
+            shuffle_prob=0.5, poisson_prob=0.5, speckle_prob=0.5,
+        )
+        for _ in range(n)
+    ]
+
+
+def test_plus_shuffle_structure(plus):
+    _chi2(
+        REF["plus/full_shuffle"],
+        np.array([int(p["full_shuffle"]) for p in plus]),
+        "plus full-vs-local shuffle rate",
+    )
+    _chi2(
+        REF["plus/full_pos5"],
+        np.array([p["order"].index(5) for p in plus if p["full_shuffle"]]),
+        "plus JPEG slot position (full shuffle)",
+    )
+    _chi2(
+        REF["plus/local_first_23"],
+        np.array([p["order"][2] for p in plus if not p["full_shuffle"]]),
+        "plus local shuffle of slots 2-4",
+    )
+    _chi2(
+        REF["plus/local_first_7"],
+        np.array([p["order"][7] for p in plus if not p["full_shuffle"]]),
+        "plus local shuffle of slots 7-10",
+    )
+
+
+def _plus_ops(plans, slots):
+    for p in plans:
+        for j, i in enumerate(p["order"]):
+            if i in slots:
+                yield p["ops"][j]
+
+
+def test_plus_resize_and_jpeg_decisions(plus):
+    branch, s_up, s_down, interp = [], [], [], []
+    for op in _plus_ops(plus, (1, 7)):
+        if op[0] == "noop":
+            branch.append(2)
+        elif op[4] >= 1.0:
+            branch.append(0)
+            s_up.append(op[4])
+            interp.append(op[3])
+        else:
+            branch.append(1)
+            s_down.append(op[4])
+            interp.append(op[3])
+    _chi2(REF["plus/resize_branch"], np.array(branch), "plus resize up/down/keep")
+    _ks(REF["plus/resize_scale_up"], np.array(s_up), "plus resize scale (up)")
+    _ks(REF["plus/resize_scale_down"], np.array(s_down), "plus resize scale (down)")
+    _chi2(REF["plus/resize_interp"], np.array(interp), "plus resize interp")
+    mid_q = [int(op[1][0]) for op in _plus_ops(plus, (5,))]
+    _chi2(REF["plus/jpeg_mid_q"], np.array(mid_q), "plus mid-JPEG quality")
+    _chi2(
+        REF["plus/jpeg_final_q"],
+        np.array([int(p["final_jpeg_quality"][0]) for p in plus]),
+        "plus final-JPEG quality",
+    )
+    _chi2(
+        REF["plus/final_interp"],
+        np.array([p["final_interp"] for p in plus]),
+        "plus final resize interp",
+    )
+
+
+def _branch_code(op):
+    # reference coding: 0 color (r>0.6) / 1 gray (r<0.4) / 2 correlated
+    if op[2][0] > 0.5:
+        return 1
+    if op[3][0] > 0.5:
+        return 2
+    return 0
+
+
+def test_plus_noise_decisions(plus):
+    gauss = list(_plus_ops(plus, (2, 8)))
+    _chi2(
+        REF["plus/gauss_level"],
+        np.array([int(round(float(op[1][0]) * 255)) for op in gauss]),
+        "plus gaussian noise level",
+    )
+    _chi2(
+        REF["plus/gauss_branch"],
+        np.array([_branch_code(op) for op in gauss]),
+        "plus gaussian branch (color/gray/correlated)",
+    )
+    # poisson: taken count per draw, shot exponent u of vals=10**(2u+2),
+    # gray rate (the reference's gray-on-r>=0.5 vs our r<0.5 are both
+    # Bernoulli(1/2) — labels differ, the marginal must match)
+    pois = [op for op in _plus_ops(plus, (3, 9)) if op[0] != "noop"]
+    _chi2(
+        REF["plus/poisson_taken"],
+        np.array([
+            sum(1 for j, i in enumerate(p["order"])
+                if i in (3, 9) and p["ops"][j][0] != "noop")
+            for p in plus
+        ]),
+        "plus poisson taken-per-draw",
+    )
+    _ks(
+        REF["plus/poisson_u"],
+        (np.log10(np.array([float(op[1][0]) for op in pois])) - 2.0) / 2.0,
+        "plus poisson shot exponent",
+    )
+    _chi2(
+        REF["plus/poisson_gray"],
+        np.array([int(op[2][0]) for op in pois]),
+        "plus poisson gray rate",
+    )
+    speck = [op for op in _plus_ops(plus, (4, 10)) if op[0] != "noop"]
+    _chi2(
+        REF["plus/speckle_taken"],
+        np.array([
+            sum(1 for j, i in enumerate(p["order"])
+                if i in (4, 10) and p["ops"][j][0] != "noop")
+            for p in plus
+        ]),
+        "plus speckle taken-per-draw",
+    )
+    _chi2(
+        REF["plus/speckle_level"],
+        np.array([int(round(float(op[1][0]) * 255)) for op in speck]),
+        "plus speckle noise level",
+    )
+    _chi2(
+        REF["plus/speckle_branch"],
+        np.array([_branch_code(op) for op in speck]),
+        "plus speckle branch (color/gray/correlated)",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Real-ESRGAN kernel-triple sampler
 # ---------------------------------------------------------------------------
 

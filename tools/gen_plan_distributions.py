@@ -39,6 +39,8 @@ OUT = pathlib.Path(__file__).resolve().parent.parent / "tests" / "goldens"
 
 N_BSR4 = 20000
 N_BSR2 = 10000
+N_PLUS = 8000
+PLUS_PROBS = dict(shuffle_prob=0.5, poisson_prob=0.5, speckle_prob=0.5)
 N_TRIPLE = 40000  # cheap pure-RNG draws; extra n powers the conditional
 # omega-per-size KS tests (the size-13 threshold lives on a 1/80 slice)
 N_CHAIN_DRAWS = 4000
@@ -217,6 +219,190 @@ def record_bsrgan(bi, n_draws: int, sf: int, jpeg_prob: float, scale2_prob: floa
         for k, v in orig.items():
             setattr(bi, k, v)
     return {k: np.asarray(v) for k, v in rec.items()}
+
+
+# ---------------------------------------------------------------------------
+# Part A2: BSRGAN degradation_process_plus decision stream
+# ---------------------------------------------------------------------------
+
+
+def _caller() -> str:
+    return sys._getframe(2).f_code.co_name
+
+
+class _RecordingRandom:
+    """``random``-module stand-in: delegates to real seeded randomness and
+    logs every draw with the reference function that made it."""
+
+    def __init__(self, events: list, seed: int):
+        import random as _random
+
+        self._e = events
+        self._r = _random.Random(seed)
+
+    def random(self):
+        v = self._r.random()
+        self._e.append(("pr", _caller(), "random", v))
+        return v
+
+    def randint(self, a, b):
+        v = self._r.randint(a, b)
+        self._e.append(("pr", _caller(), "randint", v))
+        return v
+
+    def uniform(self, a, b):
+        v = self._r.uniform(a, b)
+        self._e.append(("pr", _caller(), "uniform", v))
+        return v
+
+    def choice(self, seq):
+        v = self._r.choice(seq)
+        self._e.append(("pr", _caller(), "choice", v))
+        return v
+
+    def sample(self, population, k):
+        v = self._r.sample(list(population), k)
+        self._e.append(("pr", _caller(), "sample", list(v)))
+        return v
+
+
+class _RecordingNpRandom:
+    def __init__(self, events: list):
+        self._e = events
+
+    def rand(self, *shape):
+        v = np.random.rand(*shape)
+        if not shape:
+            self._e.append(("npr", _caller(), "rand", float(v)))
+        return v
+
+    def __getattr__(self, n):
+        return getattr(np.random, n)
+
+
+class _NpRecProxy:
+    def __init__(self, events: list):
+        self.random = _RecordingNpRandom(events)
+
+    def __getattr__(self, n):
+        return getattr(np, n)
+
+
+def record_bsrgan_plus(
+    bi, n_draws: int, sf: int,
+    shuffle_prob: float, poisson_prob: float, speckle_prob: float,
+) -> dict:
+    """Instrument ``degradation_process_plus`` (``BSRGAN/imgproc.py:
+    565-623``): math stubs as in :func:`record_bsrgan` plus recording
+    RNG proxies, so every random decision of the 11-op chain — shuffle
+    structure, per-op branches/levels/scales, Poisson shot exponents,
+    JPEG qualities — is captured from the executed reference."""
+    events: list = []
+    orig = {
+        "cv2": bi.cv2, "ndimage": bi.ndimage,
+        "_fspecial_gaussian": bi._fspecial_gaussian,
+        "_anisotropic_gaussian": bi._anisotropic_gaussian,
+        "random": bi.random, "np": bi.np,
+    }
+    bi.cv2 = _Cv2Stub(events)
+    bi.ndimage = types.SimpleNamespace(
+        filters=types.SimpleNamespace(convolve=lambda img, w, mode=None: img)
+    )
+
+    def rec_iso(ksize, sigma):
+        events.append(("iso", int(ksize), float(sigma)))
+        return np.full((3, 3), 1 / 9)
+
+    def rec_aniso(ksize, theta, l1, l2):
+        events.append(("aniso", int(ksize), float(theta), float(l1), float(l2)))
+        return np.full((3, 3), 1 / 9)
+
+    bi._fspecial_gaussian = rec_iso
+    bi._anisotropic_gaussian = rec_aniso
+    bi.random = _RecordingRandom(events, seed=1234)
+    bi.np = _NpRecProxy(events)
+
+    img = np.full((8, 8, 3), 0.5, np.float32)
+    rec: dict[str, list] = {k: [] for k in (
+        "full_shuffle", "full_pos5", "local_first_23", "local_first_7",
+        "resize_branch", "resize_scale_up", "resize_scale_down", "resize_interp",
+        "gauss_level", "gauss_branch",
+        "poisson_taken", "poisson_u", "poisson_gray",
+        "speckle_taken", "speckle_level", "speckle_branch",
+        "jpeg_mid_q", "jpeg_final_q", "final_interp",
+    )}
+    try:
+        for _ in range(n_draws):
+            events.clear()
+            bi.degradation_process_plus(
+                img, sf, use_sharp=False, shuffle_prob=shuffle_prob,
+                poisson_prob=poisson_prob, speckle_prob=speckle_prob,
+            )
+            samples = [e for e in events if e[0] == "pr" and e[2] == "sample"]
+            if len(samples) == 1:
+                rec["full_shuffle"].append(1)
+                rec["full_pos5"].append(samples[0][3].index(5))
+            else:
+                rec["full_shuffle"].append(0)
+                rec["local_first_23"].append(samples[0][3][0])
+                rec["local_first_7"].append(samples[1][3][0])
+            # walk for contextual draws
+            i = 0
+            jpeg_qs = []
+            while i < len(events):
+                e = events[i]
+                if e[0] == "npr" and e[1] == "_add_resize":
+                    r = e[3]
+                    if r > 0.8:
+                        rec["resize_branch"].append(0)
+                        rec["resize_scale_up"].append(events[i + 1][3])
+                        rec["resize_interp"].append(events[i + 2][3])
+                    elif r < 0.7:
+                        rec["resize_branch"].append(1)
+                        rec["resize_scale_down"].append(events[i + 1][3])
+                        rec["resize_interp"].append(events[i + 2][3])
+                    else:
+                        rec["resize_branch"].append(2)
+                elif e[0] == "pr" and e[1] == "_add_gaussian_noise":
+                    if e[2] == "randint":
+                        rec["gauss_level"].append(e[3])
+                elif e[0] == "npr" and e[1] == "_add_gaussian_noise":
+                    r = e[3]
+                    rec["gauss_branch"].append(0 if r > 0.6 else (1 if r < 0.4 else 2))
+                elif e[0] == "pr" and e[1] == "_add_poisson_noise":
+                    # first random() is the 10**(2u+2) exponent draw, the
+                    # second the gray branch (BSRGAN/imgproc.py:249-250)
+                    rec["poisson_u"].append(e[3])
+                    rec["poisson_gray"].append(int(events[i + 1][3] >= 0.5))
+                    i += 1
+                elif e[0] == "pr" and e[1] == "_add_speckle_noise":
+                    if e[2] == "randint":
+                        rec["speckle_level"].append(e[3])
+                    else:
+                        r = e[3]
+                        rec["speckle_branch"].append(
+                            0 if r > 0.6 else (1 if r < 0.4 else 2)
+                        )
+                elif e[0] == "jpeg":
+                    jpeg_qs.append(e[1])
+                elif e[0] == "pr" and e[1] == "degradation_process_plus" and e[2] == "choice":
+                    rec["final_interp"].append(e[3])
+                i += 1
+            # last JPEG is the unconditional final one; at most one mid
+            rec["jpeg_final_q"].append(jpeg_qs[-1])
+            rec["jpeg_mid_q"].extend(jpeg_qs[:-1])
+            # two random() draws per taken poisson call; one randint per
+            # taken speckle call; two slots of each per draw
+            rec["poisson_taken"].append(
+                sum(1 for e in events if e[:3] == ("pr", "_add_poisson_noise", "random")) // 2
+            )
+            rec["speckle_taken"].append(
+                sum(1 for e in events if e[:3] == ("pr", "_add_speckle_noise", "randint"))
+            )
+    finally:
+        for k, v in orig.items():
+            setattr(bi, k, v)
+    return {k: np.asarray(v) for k, v in rec.items() if len(v)}
 
 
 # ---------------------------------------------------------------------------
@@ -501,6 +687,7 @@ def main() -> None:
     for prefix, data in [
         ("bsr4", record_bsrgan(bi, N_BSR4, 4, jpeg_prob=0.9, scale2_prob=0.25)),
         ("bsr2", record_bsrgan(bi, N_BSR2, 2, jpeg_prob=0.9, scale2_prob=0.25)),
+        ("plus", record_bsrgan_plus(bi, N_PLUS, 4, **PLUS_PROBS)),
     ]:
         for k, v in data.items():
             out[f"{prefix}/{k}"] = v
