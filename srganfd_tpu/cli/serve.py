@@ -19,7 +19,9 @@ Transports (pick one):
   --port N           HTTP: POST /sr with an encoded image body returns
                      the SR PNG; GET /healthz -> 200 "ok";
                      GET /stats -> JSON counters. Single-threaded by
-                     design: the one TPU serializes compute anyway.
+                     default (the one TPU serializes compute anyway);
+                     ``--batch auto`` threads the server and
+                     micro-batches concurrent requests.
 
 TPU-first serving behaviors:
   - shape bucketing: ``--bucket M`` reflect-pads inputs up to multiples

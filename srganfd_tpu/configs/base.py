@@ -72,7 +72,7 @@ class ExperimentConfig:
     # reproduce the reference's literal AveragedModel EMA: INVERTED lerp
     # ((1-decay)*avg + decay*p, ESRGAN/train_esrgan.py:249 — its "EMA" is
     # ~the raw model) + first-update copy. Off = conventional EMA
-    # (PARITY.md deviation 10).
+    # (PARITY.md deviation 11).
     ema_reference_semantics: bool = False
     lr_scheduler_milestones: tuple[float, ...] = (0.125, 0.25, 0.5, 0.75)  # epoch fractions
     lr_scheduler_gamma: float = 0.5

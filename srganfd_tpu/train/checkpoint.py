@@ -392,7 +392,7 @@ def warn_if_young_ema(
 ) -> None:
     """``--use-ema`` on a young checkpoint silently serves a model that is
     still mostly its random init: the conventional EMA lerps from the
-    initial params (PARITY.md deviation 10), so after t steps the init
+    initial params (PARITY.md deviation 11), so after t steps the init
     still carries decay^t of the weight. Warn when that exceeds 5%.
     Under ``ema_reference_semantics`` the EMA is ~the raw model (inverted
     lerp + first-update copy) and never young — no warning."""

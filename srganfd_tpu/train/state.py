@@ -40,7 +40,7 @@ def ema_update(
     decay 0.999/0.99998 its "EMA" is >=99.9% the current raw model — and
     torch's ``AveragedModel`` COPIES the model on the first
     ``update_parameters`` call instead of lerping. We default to the
-    clearly intended conventional EMA (PARITY.md deviation 10);
+    clearly intended conventional EMA (PARITY.md deviation 11);
     ``reference_semantics=True`` (+ the pre-update ``step`` counter for
     the first-call copy) reproduces the reference's literal behavior for
     parity studies."""
