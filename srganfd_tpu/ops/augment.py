@@ -43,12 +43,43 @@ def center_crop_np(image: np.ndarray, size: int) -> np.ndarray:
     return image[top : top + size, left : left + size, ...]
 
 
-def random_rotate_flip_np(image: np.ndarray, rng: np.random.Generator) -> np.ndarray:
-    """90-degree rotations + horizontal/vertical flips with p=0.5 each,
-    matching the Train-mode augmentation set."""
-    k = int(rng.integers(0, 4))
-    if k:
-        image = np.rot90(image, k)
+_REFERENCE_ROTATE_SHIFT = {1: (1, 0), 2: (1, 1), 3: (0, 1)}
+
+
+def random_rotate_flip_np(
+    image: np.ndarray,
+    rng: np.random.Generator,
+    reference_rotate_quirk: bool = False,
+) -> np.ndarray:
+    """The reference Train-mode augmentation set: ALWAYS rotate by a
+    uniform choice of {90, 180, 270} (``random_rotate(img, [90, 180,
+    270])`` — 0 degrees is NOT in the angle list,
+    ``ESRGAN/dataset.py:64``, ``BSRGAN/dataset.py:71``), then
+    horizontal/vertical flips with p=0.5 each. Over the dihedral group
+    this is deliberately non-uniform: transposed orientations carry 2/3
+    of the mass and the identity only 1/12 (vs 1/8 uniform) — sampling
+    k in {0..3} would silently shift the training distribution.
+
+    ``reference_rotate_quirk=True`` additionally reproduces the
+    reference's rotation DEFECT on even-sized square crops:
+    ``cv2.getRotationMatrix2D`` is centered at ``(s//2, s//2)`` — half a
+    pixel off the true center — so the executed reference shifts the
+    rotated content by one pixel and zero-fills the entering border
+    (mapping measured against the executed ``random_rotate``: rot90(k)
+    shifted by {90: (1,0), 180: (1,1), 270: (0,1)}; odd sizes are
+    exact). Off by default: the clean rot90 is the intended transform
+    (same policy as the DiffJPEG transposed-table defect)."""
+    k = int(rng.integers(1, 4))
+    image = np.rot90(image, k)
+    if (
+        reference_rotate_quirk
+        and image.shape[0] == image.shape[1]
+        and image.shape[0] % 2 == 0
+    ):
+        dy, dx = _REFERENCE_ROTATE_SHIFT[k]
+        shifted = np.zeros_like(image)
+        shifted[dy:, dx:] = image[: image.shape[0] - dy, : image.shape[1] - dx]
+        image = shifted
     if rng.random() < 0.5:
         image = image[:, ::-1, ...]
     if rng.random() < 0.5:
