@@ -590,10 +590,15 @@ def serve_http(
         def log_message(self, fmt, *a):  # quiet: stats cover observability
             pass
 
-        def _send(self, code: int, body: bytes, ctype: str) -> None:
+        def _send(
+            self, code: int, body: bytes, ctype: str,
+            extra_headers: dict | None = None,
+        ) -> None:
             self.send_response(code)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
+            for k, v in (extra_headers or {}).items():
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
 
@@ -609,15 +614,21 @@ def serve_http(
             if self.path != "/sr":
                 self._send(404, b"not found", "text/plain")
                 return
-            n = int(self.headers.get("Content-Length", 0))
-            if n > max_body_bytes:
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                n = -1
+            if n < 0 or n > max_body_bytes:
                 # reject BEFORE reading: an oversized upload never
-                # occupies host memory
+                # occupies host memory, and a negative/garbage length
+                # must not turn into rfile.read(-1) blocking until the
+                # client closes (single connection would wedge the
+                # single-threaded server)
                 with stats_lock:
                     engine.rejected += 1
                 self._send(
                     413,
-                    f"body {n} bytes > limit {max_body_bytes}".encode(),
+                    f"body length {n} outside [0, {max_body_bytes}]".encode(),
                     "text/plain",
                 )
                 return
@@ -635,13 +646,10 @@ def serve_http(
             except OverloadedError as e:
                 with stats_lock:
                     engine.rejected += 1
-                self.send_response(503)
-                body = str(e).encode()
-                self.send_header("Content-Type", "text/plain")
-                self.send_header("Content-Length", str(len(body)))
-                self.send_header("Retry-After", "1")
-                self.end_headers()
-                self.wfile.write(body)
+                self._send(
+                    503, str(e).encode(), "text/plain",
+                    extra_headers={"Retry-After": "1"},
+                )
                 return
             except RuntimeError as e:
                 with stats_lock:

@@ -143,7 +143,12 @@ def run_eval(args) -> dict:
     # programmatic overrides (tools/parity_table.py evaluates sibling archs
     # — e.g. rrdbnet_x2 — under the family config, at ported sizes)
     if getattr(args, "g_arch", ""):
-        sf_override = int(args.g_arch.rpartition("_x")[2] or cfg.upscale_factor)
+        import re
+
+        m = re.search(r"_x(\d+)$", args.g_arch)
+        # archs without an _x<n> suffix (gen_rpa2x, gen_rrdb2x) keep the
+        # config's upscale factor
+        sf_override = int(m.group(1)) if m else cfg.upscale_factor
         cfg = cfg.replace(g_arch=args.g_arch, upscale_factor=sf_override)
     if getattr(args, "g_kwargs", None):
         cfg = cfg.replace(g_kwargs={**cfg.g_kwargs, **args.g_kwargs})
@@ -206,7 +211,14 @@ def run_eval(args) -> dict:
         if params is None:
             if args.weights and args.weights.endswith(".npz"):
                 # flat npz in the tools/port_torch_weights.py layout — a
-                # ported reference .pth.tar evaluates directly
+                # ported reference .pth.tar evaluates directly. An npz
+                # carries ONE param tree, so --use-ema cannot select an
+                # EMA variant — say so instead of silently evaluating raw
+                if args.use_ema:
+                    print(
+                        "! --use-ema ignored: .npz weights carry a single "
+                        "param tree (no EMA variant to select)"
+                    )
                 params = ckpt.load_pretrained_params(args.weights)
             elif args.weights:
                 payload = ckpt.load_checkpoint(args.weights)

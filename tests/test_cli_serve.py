@@ -429,9 +429,11 @@ def test_http_overload_503_and_body_cap(engine):
     # gate the device call so the flood deterministically overflows the
     # tiny queue while the dispatcher is busy
     release = _t.Event()
+    entered = _t.Event()
     real_sr_batch = eng.sr_batch
 
     def slow_sr_batch(imgs):
+        entered.set()
         release.wait(timeout=60)
         return real_sr_batch(imgs)
 
@@ -462,6 +464,17 @@ def test_http_overload_503_and_body_cap(engine):
     r.read()
     conn.close()
 
+    # 1b) a negative Content-Length must be rejected up front — not turn
+    # into rfile.read(-1) blocking on the held-open connection
+    with socket.create_connection(("127.0.0.1", port), timeout=30) as sck2:
+        sck2.sendall(
+            b"POST /sr HTTP/1.1\r\nHost: x\r\nContent-Length: -1\r\n\r\n"
+        )
+        first = sck2.recv(64)
+    assert b"413" in first.split(b"\r\n", 1)[0], first
+    with _url.urlopen(f"http://127.0.0.1:{port}/healthz", timeout=5) as r2:
+        assert r2.read() == b"ok"  # server still alive afterwards
+
     # 2) queue flood: 8 concurrent frames against max_queue=2
     img = (np.random.default_rng(0).uniform(0, 1, (20, 24, 3)) * 255).astype(np.uint8)
     ok_, buf = cv2.imencode(".png", img)
@@ -480,10 +493,20 @@ def test_http_overload_503_and_body_cap(engine):
             retry_after.append(resp.getheader("Retry-After"))
         c.close()
 
+    # deterministic sequencing (immune to CPU contention): the first
+    # request is grabbed by the dispatcher and blocks inside the gated
+    # sr_batch; only then do the other 7 flood in — the queue (cap 2)
+    # holds 2 and the remaining 5 MUST 503 regardless of pacing, because
+    # the dispatcher stays blocked until release
     threads = [_t.Thread(target=post, args=(i,)) for i in range(8)]
-    for t in threads:
+    threads[0].start()
+    assert entered.wait(timeout=120), "dispatcher never reached sr_batch"
+    for t in threads[1:]:
         t.start()
-    _time.sleep(2.0)  # flood lands while the dispatcher is gated
+    for _ in range(600):  # wait for the 5 rejections to land
+        if statuses.count(503) >= 5:
+            break
+        _time.sleep(0.1)
     release.set()
     for t in threads:
         t.join(timeout=180)
@@ -491,8 +514,8 @@ def test_http_overload_503_and_body_cap(engine):
     served = statuses.count(200)
     rejected = statuses.count(503)
     assert served + rejected == 8, statuses
-    assert rejected >= 1 and served >= 1, statuses
+    assert served == 3 and rejected == 5, statuses
     assert all(ra == "1" for ra in retry_after)
     stats = eng.stats()
     assert stats["served"] == served
-    assert stats["rejected"] == rejected + 1  # + the 413
+    assert stats["rejected"] == rejected + 2  # + the two 413s (size, neg-CL)

@@ -181,10 +181,13 @@ def test_bsrgan_chain_per_sample_order():
     assert out.shape == (3, 16, 16, 3)
     assert np.isfinite(np.asarray(out)).all()
 
-    # per-batch plan still works and gives the same output shape
-    plan2 = plan_bsrgan_batch(rng, 3, 2)
+    # the per-batch opt-out speed mode (explicit since the default
+    # flipped to per-sample) still drives the static-int jpeg_pos branch
+    plan2 = plan_bsrgan_batch(rng, 3, 2, per_sample_order=False)
+    assert isinstance(plan2.jpeg_pos, int)
     out2 = apply_bsrgan_batch(x, plan2)
     assert out2.shape == (3, 16, 16, 3)
+    assert np.isfinite(np.asarray(out2)).all()
 
 
 def test_blur_separable_matches_2d_filter():

@@ -172,7 +172,9 @@ def bench_degradations() -> None:
     try:
         from srganfd_tpu.ops.degrade import apply_bsrgan_batch, plan_bsrgan_batch
 
-        plan = plan_bsrgan_batch(rng, b, 4)
+        # per-batch slot: keeps this metric comparable with the numbers
+        # recorded before per_sample_order's default flipped to True
+        plan = plan_bsrgan_batch(rng, b, 4, per_sample_order=False)
         t = chain_time(lambda x: x + 1e-9 * jnp.mean(apply_bsrgan_batch(x, plan)), gt)
         emit(
             {

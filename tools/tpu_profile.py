@@ -108,7 +108,8 @@ def main() -> None:
     try:
         from srganfd_tpu.ops.degrade import apply_bsrgan_batch, plan_bsrgan_batch
 
-        plan = plan_bsrgan_batch(rng, b, 4)
+        # per-batch slot for comparability with pre-default-flip records
+        plan = plan_bsrgan_batch(rng, b, 4, per_sample_order=False)
         chain_time(
             lambda x: x + 1e-9 * jnp.mean(apply_bsrgan_batch(x, plan)[0]),
             gt,

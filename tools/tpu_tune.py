@@ -167,7 +167,7 @@ def main() -> None:
 
         rng = np.random.default_rng(0)
         gt = jnp.asarray(rng.uniform(size=(BATCH, GT, GT, 3)).astype(np.float32))
-        plan_b = plan_bsrgan_batch(rng, BATCH, 4)
+        plan_b = plan_bsrgan_batch(rng, BATCH, 4, per_sample_order=False)
         chain_time(
             lambda x: x + 1e-9 * jnp.mean(apply_bsrgan_batch(x, plan_b)[0]),
             gt,
