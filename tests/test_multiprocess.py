@@ -292,3 +292,42 @@ def test_two_process_ring_attention_cp():
         "cross-process K/V ring produced different bits than the "
         "single-process mesh"
     )
+
+
+def test_two_process_ulysses_attention_cp():
+    """Cross-process Ulysses context parallelism: BSRGANtrans serving via
+    spatial_sharded_sr with cp_backend="ulysses" on a 4-device mesh (the
+    4-head cap) split over 2 processes — the head-sharding all_to_all
+    pair and the halo-mask all_gather cross the Gloo boundary. Workers
+    self-assert the sharded-vs-unsharded property; outputs must be
+    digest-identical across processes and vs the single-process mesh."""
+    worker = REPO / "tests" / "mp_ulysses_worker.py"
+
+    ref_proc = subprocess.Popen(
+        [sys.executable, str(worker), "unused", "0", "1"],
+        env=_worker_env(4), cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    ref = _parse(ref_proc, ref_proc.communicate(timeout=900)[0])
+
+    addr = f"127.0.0.1:{_free_port()}"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), addr, str(i), "2"],
+            env=_worker_env(2), cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    results = {}
+    for p, out in zip(procs, outs):
+        r = _parse(p, out)
+        results[r["proc"]] = r
+
+    assert set(results) == {0, 1}
+    assert results[0]["digest"] == results[1]["digest"]
+    assert results[0]["digest"] == ref["digest"], (
+        "cross-process all_to_all produced different bits than the "
+        "single-process mesh"
+    )
