@@ -35,7 +35,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -585,6 +584,21 @@ def sample_correlated_noise_chol(
     return out
 
 
+def poisson_noise_vals(rounded: jax.Array) -> jax.Array:
+    """The torch reference's per-sample shot-noise level
+    (``Real_ESRGAN/imgproc.py:894-897,905-908``):
+    ``2**ceil(log2(#unique values))`` of the 8-bit-rounded image. The
+    unique count of a [0,1] image rounded to 255ths is exactly the
+    number of occupied 256-level histogram bins — a fixed-size, jittable
+    reduction (the reference's per-sample ``torch.unique`` loop is not).
+    Typical natural content occupies ~all levels -> vals ~ 256; a fixed
+    approximation (e.g. 1000) would understate the noise ~2x."""
+    levels = jnp.clip(jnp.round(rounded * 255.0), 0, 255).astype(jnp.int32)
+    hist = jax.vmap(lambda l: jnp.bincount(l.reshape(-1), length=256))(levels)
+    nuniq = jnp.maximum((hist > 0).sum(-1), 1)
+    return (2.0 ** jnp.ceil(jnp.log2(nuniq.astype(jnp.float32)))).astype(rounded.dtype)
+
+
 def add_poisson_noise(
     x: jax.Array,
     key: jax.Array,
@@ -594,22 +608,28 @@ def add_poisson_noise(
 ) -> jax.Array:
     """Poisson (shot) noise; noise is (poisson(x*vals)/vals - x) * scale.
 
-    ``vals`` (N,) sets the per-sample shot-noise level. Default: the torch
-    implementation's 10**ceil(log10(levels)) approximation at 255 levels
-    (=1000, the Real-ESRGAN chain's regime). The BSRGAN plus chain draws
-    it log-uniform 10**(2U+2) per sample (``BSRGAN/imgproc.py:249``) and
-    passes it in."""
-    n = x.shape[0]
-    if vals is None:
-        vals = jnp.full((n,), 10.0 ** math.ceil(math.log10(256.0)), x.dtype)
-    v = vals[:, None, None, None]
+    ``vals`` (N,) sets the per-sample shot-noise level. Default: the
+    torch reference's content-derived ``2**ceil(log2(#unique levels))``
+    (:func:`poisson_noise_vals`) — computed separately for the color and
+    gray sources like the reference. The BSRGAN plus chain draws it
+    log-uniform 10**(2U+2) per sample (``BSRGAN/imgproc.py:249``) and
+    passes it in (one level for both branches, as that chain does)."""
     k1, k2 = jax.random.split(key)
     rounded = jnp.clip(jnp.round(x * 255.0), 0, 255) / 255.0
-    noisy = jax.random.poisson(k1, rounded * v, x.shape).astype(x.dtype) / v
+    # gray source: torchvision rgb_to_grayscale luma weights, then the
+    # reference's round-for-counting (Real_ESRGAN/imgproc.py:891-893)
+    luma = jnp.asarray([0.2989, 0.587, 0.114], x.dtype)
+    gray = jnp.sum(rounded * luma, axis=-1, keepdims=True)
+    gray_src = jnp.clip(jnp.round(gray * 255.0), 0, 255) / 255.0
+    if vals is None:
+        v_color = poisson_noise_vals(rounded)[:, None, None, None]
+        v_gray = poisson_noise_vals(gray_src)[:, None, None, None]
+    else:
+        v_color = v_gray = vals[:, None, None, None]
+    noisy = jax.random.poisson(k1, rounded * v_color, x.shape).astype(x.dtype) / v_color
     noise_color = noisy - rounded
-    gray_src = jnp.mean(rounded, axis=-1, keepdims=True)
     noisy_gray = (
-        jax.random.poisson(k2, gray_src * v, gray_src.shape).astype(x.dtype) / v
+        jax.random.poisson(k2, gray_src * v_gray, gray_src.shape).astype(x.dtype) / v_gray
     )
     noise_gray = jnp.broadcast_to(noisy_gray - gray_src, x.shape)
     noise = jnp.where(gray_mask[:, None, None, None] > 0.5, noise_gray, noise_color)

@@ -94,6 +94,37 @@ def test_poisson_vals_sets_per_sample_noise_level():
     std_high = (out[1] - 0.5).std()
     # shot-noise std scales ~ 1/sqrt(vals): 100x vals ratio -> ~10x std
     assert std_low > 5 * std_high, (std_low, std_high)
-    # default (no vals) keeps the Real-ESRGAN 255-level regime
-    out_def = np.asarray(add_poisson_noise(x, KEY, jnp.ones((2,)), jnp.zeros((2,))))
-    assert 0 < (out_def[0] - 0.5).std() < std_low
+
+
+def test_poisson_default_vals_match_reference_unique_count_formula():
+    """The torch reference derives the shot level from image CONTENT:
+    vals = 2**ceil(log2(#unique 8-bit values))
+    (``Real_ESRGAN/imgproc.py:894-897``) — a fixed approximation (the
+    previous 1000) understates natural-content noise ~2x. Our
+    histogram-based device computation must reproduce np.unique's count
+    exactly, and passing that vals explicitly must reproduce the default
+    path bit-for-bit."""
+    from srganfd_tpu.ops.degrade import poisson_noise_vals
+
+    rng = np.random.default_rng(0)
+    # three content regimes: full-range natural, coarsely quantized, flat
+    imgs = np.stack([
+        rng.uniform(0, 1, (32, 32, 3)),
+        np.round(rng.uniform(0, 1, (32, 32, 3)) * 7) / 7.0,
+        np.full((32, 32, 3), 0.5),
+    ]).astype(np.float32)
+    x = jnp.asarray(imgs)
+    rounded = np.clip(np.round(imgs * 255.0), 0, 255) / 255.0
+    want = np.array([
+        2.0 ** np.ceil(np.log2(len(np.unique(r)))) for r in rounded
+    ])
+    got = np.asarray(poisson_noise_vals(jnp.asarray(rounded)))
+    np.testing.assert_array_equal(got, want)
+    # flat image -> 1 unique level -> vals=1 (huge noise), same as torch
+    assert got[2] == 1.0 and got[0] >= 128.0
+
+    out_def = np.asarray(add_poisson_noise(x, KEY, jnp.ones((3,)), jnp.zeros((3,))))
+    out_exp = np.asarray(
+        add_poisson_noise(x, KEY, jnp.ones((3,)), jnp.zeros((3,)), vals=jnp.asarray(got))
+    )
+    np.testing.assert_array_equal(out_def, out_exp)
