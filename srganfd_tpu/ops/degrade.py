@@ -584,6 +584,9 @@ def sample_correlated_noise_chol(
     return out
 
 
+_POW2 = np.asarray([1, 2, 4, 8, 16, 32, 64, 128, 256], np.float32)
+
+
 def poisson_noise_vals(rounded: jax.Array) -> jax.Array:
     """The torch reference's per-sample shot-noise level
     (``Real_ESRGAN/imgproc.py:894-897,905-908``):
@@ -591,12 +594,17 @@ def poisson_noise_vals(rounded: jax.Array) -> jax.Array:
     unique count of a [0,1] image rounded to 255ths is exactly the
     number of occupied 256-level histogram bins — a fixed-size, jittable
     reduction (the reference's per-sample ``torch.unique`` loop is not).
-    Typical natural content occupies ~all levels -> vals ~ 256; a fixed
-    approximation (e.g. 1000) would understate the noise ~2x."""
+    The power-of-two lookup is integer-exact (a table search, no f32
+    log2/exp2 transcendentals whose TPU approximations could tip an
+    exact power over the ceil boundary and double vals). Typical natural
+    content occupies ~all levels -> vals ~ 256; a fixed approximation
+    (e.g. 1000) would understate the noise ~2x."""
     levels = jnp.clip(jnp.round(rounded * 255.0), 0, 255).astype(jnp.int32)
     hist = jax.vmap(lambda l: jnp.bincount(l.reshape(-1), length=256))(levels)
     nuniq = jnp.maximum((hist > 0).sum(-1), 1)
-    return (2.0 ** jnp.ceil(jnp.log2(nuniq.astype(jnp.float32)))).astype(rounded.dtype)
+    powers = jnp.asarray(_POW2)
+    idx = jnp.searchsorted(powers.astype(jnp.int32), nuniq, side="left")
+    return powers[idx].astype(rounded.dtype)
 
 
 def add_poisson_noise(
@@ -606,26 +614,37 @@ def add_poisson_noise(
     gray_mask: jax.Array,
     vals: jax.Array | None = None,
 ) -> jax.Array:
-    """Poisson (shot) noise; noise is (poisson(x*vals)/vals - x) * scale.
+    """Poisson (shot) noise with each reference's exact construction.
 
-    ``vals`` (N,) sets the per-sample shot-noise level. Default: the
-    torch reference's content-derived ``2**ceil(log2(#unique levels))``
-    (:func:`poisson_noise_vals`) — computed separately for the color and
-    gray sources like the reference. The BSRGAN plus chain draws it
-    log-uniform 10**(2U+2) per sample (``BSRGAN/imgproc.py:249``) and
-    passes it in (one level for both branches, as that chain does)."""
+    ``vals=None`` — the TORCH reference's semantics
+    (``Real_ESRGAN/imgproc.py:869-919``): per-sample content-derived
+    levels ``2**ceil(log2(#unique))`` computed separately for the color
+    and gray sources; the gray source is torchvision ``rgb_to_grayscale``
+    (luma 0.2989/0.587/0.114) of the UNROUNDED image, rounded after; the
+    output adds the noise to the unrounded input.
+
+    ``vals`` given (N,) — the NUMPY reference's semantics used by the
+    BSRGAN plus chain (``BSRGAN/imgproc.py:246-259``): the image is
+    8-bit-rounded FIRST (the rounded image is the output base), the gray
+    source is ``np.dot(rounded, [0.299, 0.587, 0.114])`` of that rounded
+    image, and one level (the chain's 10**(2U+2) draw) serves both
+    branches."""
     k1, k2 = jax.random.split(key)
     rounded = jnp.clip(jnp.round(x * 255.0), 0, 255) / 255.0
-    # gray source: torchvision rgb_to_grayscale luma weights, then the
-    # reference's round-for-counting (Real_ESRGAN/imgproc.py:891-893)
-    luma = jnp.asarray([0.2989, 0.587, 0.114], x.dtype)
-    gray = jnp.sum(rounded * luma, axis=-1, keepdims=True)
-    gray_src = jnp.clip(jnp.round(gray * 255.0), 0, 255) / 255.0
     if vals is None:
+        luma = jnp.asarray([0.2989, 0.587, 0.114], x.dtype)
+        gray = jnp.sum(x * luma, axis=-1, keepdims=True)
+        gray_src = jnp.clip(jnp.round(gray * 255.0), 0, 255) / 255.0
         v_color = poisson_noise_vals(rounded)[:, None, None, None]
         v_gray = poisson_noise_vals(gray_src)[:, None, None, None]
+        base = x
     else:
+        luma = jnp.asarray([0.299, 0.587, 0.114], x.dtype)
+        gray_src = jnp.clip(
+            jnp.round(jnp.sum(rounded * luma, axis=-1, keepdims=True) * 255.0), 0, 255
+        ) / 255.0
         v_color = v_gray = vals[:, None, None, None]
+        base = rounded
     noisy = jax.random.poisson(k1, rounded * v_color, x.shape).astype(x.dtype) / v_color
     noise_color = noisy - rounded
     noisy_gray = (
@@ -633,7 +652,7 @@ def add_poisson_noise(
     )
     noise_gray = jnp.broadcast_to(noisy_gray - gray_src, x.shape)
     noise = jnp.where(gray_mask[:, None, None, None] > 0.5, noise_gray, noise_color)
-    return jnp.clip(x + noise * scale[:, None, None, None], 0.0, 1.0)
+    return jnp.clip(base + noise * scale[:, None, None, None], 0.0, 1.0)
 
 
 def add_speckle_noise(

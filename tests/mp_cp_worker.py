@@ -1,20 +1,26 @@
-"""Worker for tests/test_multiprocess.py: cross-process ring attention.
+"""Worker for tests/test_multiprocess.py: cross-process context-parallel
+attention (ring or ulysses backend).
 
-Runs the PRODUCTION context-parallel serving path — BSRGANtrans over
-``spatial_sharded_sr`` with ``ring_axis="data"``, i.e. the bottleneck
-attention's K/V blocks rotating around the mesh with ``jax.lax.ppermute``
-(``parallel/ring_attention.py``) — on a mesh spanning TWO jax.distributed
-processes, so both the sp halos AND the cp K/V ring cross the (Gloo)
-process boundary every rotation step.
+Runs the PRODUCTION cp serving path — BSRGANtrans over
+``spatial_sharded_sr`` with ``ring_axis="data"`` — on a mesh spanning TWO
+jax.distributed processes, so the backend's collectives cross the (Gloo)
+process boundary:
 
-Self-asserts the single-process test's correctness property
-(tests/test_ring_attention.py::test_bsrgantrans_spatial_ring_serving):
-with ring attention the sharded result tracks the unsharded model on a
-vertical-gradient frame; shard-local attention visibly diverges. The
+- ``ring``: the bottleneck attention's K/V blocks rotate around the mesh
+  with ``jax.lax.ppermute`` (``parallel/ring_attention.py``), every
+  rotation step; also asserts the negative (shard-local attention
+  visibly diverges).
+- ``ulysses``: the two head-sharding ``jax.lax.all_to_all`` collectives
+  and the halo-mask ``all_gather`` (``parallel/ulysses.py``; 4-device
+  mesh — the 4-head cap).
+
+Self-asserts the single-process tests' correctness property
+(tests/test_ring_attention.py / tests/test_ulysses.py): the sharded
+result tracks the unsharded model on a vertical-gradient frame. The
 parent compares the two processes' replicated-output digests and pins
 them against the single-process run.
 
-Invoked as: python mp_cp_worker.py <coordinator_addr> <process_id> <num_processes>
+Invoked as: python mp_cp_worker.py <coordinator_addr> <process_id> <num_processes> [ring|ulysses]
 """
 
 import hashlib
@@ -25,6 +31,7 @@ import sys
 
 def main() -> None:
     addr, proc, nprocs = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    backend = sys.argv[4] if len(sys.argv) > 4 else "ring"
     if nprocs > 1:
         os.environ["JAX_COORDINATOR_ADDRESS"] = addr
         os.environ["JAX_PROCESS_ID"] = str(proc)
@@ -37,7 +44,8 @@ def main() -> None:
 
     if nprocs > 1:
         assert maybe_init_distributed(), "env triple should trigger initialization"
-    assert jax.process_count() == nprocs and jax.device_count() == 8
+    expected_devices = 8 if backend == "ring" else 4  # ulysses: 4-head cap
+    assert jax.process_count() == nprocs and jax.device_count() == expected_devices
 
     import jax.numpy as jnp
 
@@ -48,7 +56,10 @@ def main() -> None:
     kw = dict(channels=8, growth_channels=4, num_rrdb=1)
     halo = 8
     base = create_model("bsrgantrans_x2", **kw)
-    ring = create_model("bsrgantrans_x2", ring_axis="data", ring_halo=halo, **kw)
+    sharded = create_model(
+        "bsrgantrans_x2", ring_axis="data", ring_halo=halo,
+        cp_backend=backend, **kw,
+    )
 
     rng = np.random.default_rng(3)
     img = (
@@ -65,26 +76,23 @@ def main() -> None:
             params, img, 2, mesh, halo=halo, row_multiple=2,
         )
 
-    got_ring = run(ring)
-    got_local = run(base)
+    got = run(sharded)
     b = 2 * halo
-    err_ring = float(np.abs(got_ring[b:-b] - ref[b:-b]).max())
-    err_local = float(np.abs(got_local[b:-b] - ref[b:-b]).max())
-    assert err_ring < 2e-3, err_ring
-    assert err_local > 10 * err_ring, (err_local, err_ring)
+    err = float(np.abs(got[b:-b] - ref[b:-b]).max())
+    assert err < 2e-3, err
+    record = {
+        "proc": proc,
+        "digest": hashlib.sha256(np.ascontiguousarray(got).tobytes()).hexdigest(),
+        "err": err,
+    }
+    if backend == "ring":
+        # the negative: shard-local attention (no cp) visibly diverges
+        got_local = run(base)
+        err_local = float(np.abs(got_local[b:-b] - ref[b:-b]).max())
+        assert err_local > 10 * err, (err_local, err)
+        record["err_local"] = err_local
 
-    print(
-        "RESULT "
-        + json.dumps(
-            {
-                "proc": proc,
-                "digest": hashlib.sha256(np.ascontiguousarray(got_ring).tobytes()).hexdigest(),
-                "err_ring": err_ring,
-                "err_local": err_local,
-            }
-        ),
-        flush=True,
-    )
+    print("RESULT " + json.dumps(record), flush=True)
 
 
 if __name__ == "__main__":

@@ -212,6 +212,59 @@ def test_sigterm_one_process_preempts_both(tmp_path):
     assert (ckpt_dir / "ckpt_preempt_last.meta.json").exists()
 
 
+def _digest_pair_run(
+    worker_name: str, total_devices: int, extra_args: tuple[str, ...] = ()
+) -> tuple[dict, dict[int, dict]]:
+    """Shared orchestration for the collective-validation workers: one
+    single-process reference run over the full mesh, then the same worker
+    on 2 real jax.distributed processes (half the devices each). Returns
+    (ref_result, {proc: result}) after asserting the two processes'
+    digests agree. Children are killed on a communicate timeout so a hung
+    coordinator cannot leak the sibling process."""
+    worker = REPO / "tests" / worker_name
+
+    def _communicate(p):
+        try:
+            return p.communicate(timeout=900)[0]
+        except subprocess.TimeoutExpired:
+            p.kill()
+            raise
+
+    ref_proc = subprocess.Popen(
+        [sys.executable, str(worker), "unused", "0", "1", *extra_args],
+        env=_worker_env(total_devices), cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    ref = _parse(ref_proc, _communicate(ref_proc))
+
+    addr = f"127.0.0.1:{_free_port()}"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), addr, str(i), "2", *extra_args],
+            env=_worker_env(total_devices // 2), cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            outs.append(_communicate(p))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    results = {}
+    for p, out in zip(procs, outs):
+        r = _parse(p, out)
+        results[r["proc"]] = r
+    assert set(results) == {0, 1}
+    assert results[0]["digest"] == results[1]["digest"], (
+        "the two processes disagree on the replicated output"
+    )
+    return ref, results
+
+
 def test_two_process_spatial_shard_ppermute():
     """Cross-process ppermute: the sp halo exchange runs on a mesh whose
     data axis spans 2 real jax.distributed processes, so the shard-3/4
@@ -220,34 +273,7 @@ def test_two_process_spatial_shard_ppermute():
     identical and must match the single-process run of the same worker
     (ppermute moves data without reducing, so unlike the psum tests there
     is no fp-order allowance — the outputs agree to the digest)."""
-    worker = REPO / "tests" / "mp_sp_worker.py"
-
-    ref_proc = subprocess.Popen(
-        [sys.executable, str(worker), "unused", "0", "1"],
-        env=_worker_env(8), cwd=REPO,
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-    )
-    ref = _parse(ref_proc, ref_proc.communicate(timeout=900)[0])
-
-    addr = f"127.0.0.1:{_free_port()}"
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(worker), addr, str(i), "2"],
-            env=_worker_env(4), cwd=REPO,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        )
-        for i in range(2)
-    ]
-    outs = [p.communicate(timeout=900)[0] for p in procs]
-    results = {}
-    for p, out in zip(procs, outs):
-        r = _parse(p, out)
-        results[r["proc"]] = r
-
-    assert set(results) == {0, 1}
-    assert results[0]["digest"] == results[1]["digest"], (
-        "the two processes disagree on the replicated sharded-SR output"
-    )
+    ref, results = _digest_pair_run("mp_sp_worker.py", 8)
     np.testing.assert_allclose(results[0]["sum"], ref["sum"], rtol=1e-6)
     assert results[0]["digest"] == ref["digest"], (
         "cross-process ppermute produced different bits than the "
@@ -262,32 +288,7 @@ def test_two_process_ring_attention_cp():
     self-assert the ring-vs-shard-local correctness property; outputs
     must be digest-identical across processes and vs the single-process
     mesh (data movement only, no reduction-order allowance)."""
-    worker = REPO / "tests" / "mp_cp_worker.py"
-
-    ref_proc = subprocess.Popen(
-        [sys.executable, str(worker), "unused", "0", "1"],
-        env=_worker_env(8), cwd=REPO,
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-    )
-    ref = _parse(ref_proc, ref_proc.communicate(timeout=900)[0])
-
-    addr = f"127.0.0.1:{_free_port()}"
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(worker), addr, str(i), "2"],
-            env=_worker_env(4), cwd=REPO,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        )
-        for i in range(2)
-    ]
-    outs = [p.communicate(timeout=900)[0] for p in procs]
-    results = {}
-    for p, out in zip(procs, outs):
-        r = _parse(p, out)
-        results[r["proc"]] = r
-
-    assert set(results) == {0, 1}
-    assert results[0]["digest"] == results[1]["digest"]
+    ref, results = _digest_pair_run("mp_cp_worker.py", 8, ("ring",))
     assert results[0]["digest"] == ref["digest"], (
         "cross-process K/V ring produced different bits than the "
         "single-process mesh"
@@ -301,32 +302,7 @@ def test_two_process_ulysses_attention_cp():
     pair and the halo-mask all_gather cross the Gloo boundary. Workers
     self-assert the sharded-vs-unsharded property; outputs must be
     digest-identical across processes and vs the single-process mesh."""
-    worker = REPO / "tests" / "mp_ulysses_worker.py"
-
-    ref_proc = subprocess.Popen(
-        [sys.executable, str(worker), "unused", "0", "1"],
-        env=_worker_env(4), cwd=REPO,
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-    )
-    ref = _parse(ref_proc, ref_proc.communicate(timeout=900)[0])
-
-    addr = f"127.0.0.1:{_free_port()}"
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(worker), addr, str(i), "2"],
-            env=_worker_env(2), cwd=REPO,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        )
-        for i in range(2)
-    ]
-    outs = [p.communicate(timeout=900)[0] for p in procs]
-    results = {}
-    for p, out in zip(procs, outs):
-        r = _parse(p, out)
-        results[r["proc"]] = r
-
-    assert set(results) == {0, 1}
-    assert results[0]["digest"] == results[1]["digest"]
+    ref, results = _digest_pair_run("mp_cp_worker.py", 4, ("ulysses",))
     assert results[0]["digest"] == ref["digest"], (
         "cross-process all_to_all produced different bits than the "
         "single-process mesh"

@@ -102,8 +102,9 @@ def test_poisson_default_vals_match_reference_unique_count_formula():
     (``Real_ESRGAN/imgproc.py:894-897``) — a fixed approximation (the
     previous 1000) understates natural-content noise ~2x. Our
     histogram-based device computation must reproduce np.unique's count
-    exactly, and passing that vals explicitly must reproduce the default
-    path bit-for-bit."""
+    exactly, and the default (torch-semantics) path must equal a manual
+    reconstruction: noise from the rounded image at that vals, added to
+    the UNROUNDED input."""
     from srganfd_tpu.ops.degrade import poisson_noise_vals
 
     rng = np.random.default_rng(0)
@@ -123,8 +124,27 @@ def test_poisson_default_vals_match_reference_unique_count_formula():
     # flat image -> 1 unique level -> vals=1 (huge noise), same as torch
     assert got[2] == 1.0 and got[0] >= 128.0
 
+    # default path, color branch: clip(x + poisson(rounded*v)/v - rounded)
     out_def = np.asarray(add_poisson_noise(x, KEY, jnp.ones((3,)), jnp.zeros((3,))))
-    out_exp = np.asarray(
-        add_poisson_noise(x, KEY, jnp.ones((3,)), jnp.zeros((3,)), vals=jnp.asarray(got))
+    k1, _ = jax.random.split(KEY)
+    v = got[:, None, None, None].astype(np.float32)
+    noise = (
+        np.asarray(jax.random.poisson(k1, jnp.asarray(rounded * v), x.shape)) / v
+        - rounded
     )
-    np.testing.assert_array_equal(out_def, out_exp)
+    np.testing.assert_allclose(out_def, np.clip(imgs + noise, 0, 1), atol=1e-6)
+
+
+def test_poisson_explicit_vals_use_the_numpy_reference_base():
+    """The BSRGAN plus chain's variant (explicit vals) rounds FIRST and
+    keeps the rounded image as the output base (``BSRGAN/imgproc.py:
+    248-257``): with a near-zero-noise level the output converges to the
+    8-bit-rounded input, not the raw input."""
+    x = jnp.full((1, 32, 32, 3), 0.5, jnp.float32)  # rounds to 128/255
+    out = np.asarray(
+        add_poisson_noise(x, KEY, jnp.ones((1,)), jnp.zeros((1,)),
+                          vals=jnp.asarray([1e8], jnp.float32))
+    )
+    base = 128.0 / 255.0
+    assert abs(out.mean() - base) < 1e-3, out.mean()  # base is ROUNDED
+    assert abs(base - 0.5) > 1e-3  # and distinguishable from the raw input
