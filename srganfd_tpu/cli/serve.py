@@ -606,7 +606,12 @@ def serve_http(
             if self.path == "/healthz":
                 self._send(200, b"ok", "text/plain")
             elif self.path == "/stats":
-                self._send(200, json.dumps(engine.stats()).encode(), "application/json")
+                stats = engine.stats()
+                if batcher is not None:
+                    # live overload headroom: waiting requests / capacity
+                    stats["queue_depth"] = batcher.q.qsize()
+                    stats["queue_capacity"] = batcher.q.maxsize
+                self._send(200, json.dumps(stats).encode(), "application/json")
             else:
                 self._send(404, b"not found", "text/plain")
 

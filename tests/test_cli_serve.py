@@ -519,3 +519,8 @@ def test_http_overload_503_and_body_cap(engine):
     stats = eng.stats()
     assert stats["served"] == served
     assert stats["rejected"] == rejected + 2  # + the two 413s (size, neg-CL)
+    # /stats exposes live queue headroom under --batch auto
+    with _url.urlopen(f"http://127.0.0.1:{port}/stats", timeout=10) as r3:
+        http_stats = json.loads(r3.read())
+    assert http_stats["queue_capacity"] == 2
+    assert 0 <= http_stats["queue_depth"] <= 2
