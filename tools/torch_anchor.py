@@ -46,16 +46,58 @@ def conv_macs(cin: int, cout: int, k: int, h: int, w: int) -> int:
     return cin * cout * k * k * h * w
 
 
+# torchvision vgg19.features conv layout: (features index, cin, cout);
+# maxpool halves the resolution after the relus of indices {2,7,16,25}
+# on the way to features.34 (srganfd_tpu/losses/content.py layout twin).
+_VGG19_LAYOUT = [
+    (0, 3, 64), (2, 64, 64),
+    (5, 64, 128), (7, 128, 128),
+    (10, 128, 256), (12, 256, 256), (14, 256, 256), (16, 256, 256),
+    (19, 256, 512), (21, 512, 512), (23, 512, 512), (25, 512, 512),
+    (28, 512, 512), (30, 512, 512), (32, 512, 512), (34, 512, 512),
+]
+_VGG19_POOL_AFTER = {2, 7, 16, 25}
+
+
+def vgg19_feature_macs(h: int, w: int, upto: int = 34) -> int:
+    """MACs of one VGG19 ``features`` forward to node ``features.{upto}``
+    (the multi-node ContentLoss pays exactly this — the deepest requested
+    node dominates; shallower nodes are taps on the same trunk)."""
+    macs = 0
+    for idx, cin, cout in _VGG19_LAYOUT:
+        if idx > upto:
+            break
+        macs += conv_macs(cin, cout, 3, h, w)
+        if idx in _VGG19_POOL_AFTER and idx < upto:
+            h //= 2
+            w //= 2
+    return macs
+
+
+def content_forward_macs(batch: int, gt: int) -> int:
+    """Per-step MACs of the BSRGAN-family multi-node content loss: VGG19
+    forwards on BOTH sr and gt at full GT resolution every G step
+    (``BSRGAN/train_bsrgan.py:450-453`` via ``BSRGAN/model.py:501-554``).
+    The reference's ``torch.Tensor([losses])`` detach bug (SURVEY §2.10)
+    means no VGG backward is ever paid — so the symmetric enumeration
+    (and the bench step, run with ``content_detach_bug=True``) counts the
+    two forwards only."""
+    return batch * 2 * vgg19_feature_macs(gt, gt)
+
+
 def bench_step_flops_x2(batch: int = 16, gt: int = 144, upscale: int = 2,
-                        ch: int = 64, gc: int = 32, nb: int = 23) -> dict:
+                        ch: int = 64, gc: int = 32, nb: int = 23,
+                        content: bool = True) -> dict:
     """MACs for one full GAN step of the x2 thesis shape
     (``BSRGAN/bsrgan_config.py:97-101``: gt 144, batch 16). The x2
     generator runs ONE upsampling stage (``BSRGAN/model.py:311-384``), so
     the enumeration drops the x4 arch's second upsample conv; everything
-    else mirrors :func:`bench_step_flops`. At the x4 anchor's implied
+    else mirrors :func:`bench_step_flops`, including the multi-node VGG19
+    content forwards (``content=True``; the reference pays them every G
+    step, ``BSRGAN/train_bsrgan.py:450-453``). At the x4 anchor's implied
     utilization (2.5 steps/s * 4.80 TFLOPs / 312 TFLOP/s ~ 3.85% of bf16
-    peak) the 16.36 TFLOPs/step here anchor the x2 bench line at ~0.73
-    steps/s."""
+    peak, derived pre-content — BASELINE.md) the 16.88 TFLOPs/step here
+    anchor the x2 bench line at ~0.71 steps/s."""
     lr = gt // upscale
     g = conv_macs(3, ch, 3, lr, lr)
     for k in range(5):
@@ -74,7 +116,12 @@ def bench_step_flops_x2(batch: int = 16, gt: int = 144, upscale: int = 2,
     d += conv_macs(ch * 2, ch, 3, gt, gt)
     d += 2 * conv_macs(ch, ch, 3, gt, gt) + conv_macs(ch, 1, 3, gt, gt)
     step_macs = batch * (3 * g + 3 * 2 * d + 2 * g + 3 * d)
+    if content:
+        step_macs += content_forward_macs(batch, gt)
     flops = 2 * step_macs
+    # utilization stays DEFINED by the original pre-content x4 derivation
+    # (2.5 steps/s at 4.8034 TFLOPs/step — BASELINE.md); adding the VGG
+    # work at the same utilization slows the anchor proportionally
     x4_util = 2.5 * 4.80343228416e12 / 312e12
     return {
         "step_tflops": flops / 1e12,
@@ -83,8 +130,11 @@ def bench_step_flops_x2(batch: int = 16, gt: int = 144, upscale: int = 2,
 
 
 def bench_step_flops(batch: int = 16, gt: int = 128, upscale: int = 4,
-                     ch: int = 64, gc: int = 32, nb: int = 23) -> dict:
-    """MACs for one full GAN step of the bench config."""
+                     ch: int = 64, gc: int = 32, nb: int = 23,
+                     content: bool = True) -> dict:
+    """MACs for one full GAN step of the bench config (``content=True``
+    adds the reference's per-step multi-node VGG19 content forwards,
+    ``BSRGAN/train_bsrgan.py:450-453``)."""
     lr = gt // upscale
     # G forward: conv1 + trunk (nb * 3 RDBs * 5 convs) + conv2 at LR res,
     # 2 upsample convs at 2x/4x, conv3/conv4 at GT res
@@ -110,10 +160,14 @@ def bench_step_flops(batch: int = 16, gt: int = 128, upscale: int = 4,
     # G update (G fwd already done: bwd ~ 2x fwd; D fwd for adv + its bwd
     # through D)  -> conservative total in MACs:
     step_macs = batch * (3 * g + 3 * 2 * d + 2 * g + 3 * d)
+    if content:
+        step_macs += content_forward_macs(batch, gt)
     flops = 2 * step_macs
     a100_peak = 312e12  # bf16/tf32 tensor-core peak
+    x4_util = 2.5 * 4.80343228416e12 / a100_peak  # pre-content derivation
     return {
         "step_tflops": flops / 1e12,
+        "a100_anchor_steps_per_sec_at_x4_util": round(a100_peak * x4_util / flops, 3),
         "a100_steps_per_sec_at_util": {
             f"{int(u * 100)}%": round(a100_peak * u / flops, 2)
             for u in (0.05, 0.10, 0.20, 0.35)
