@@ -224,8 +224,10 @@ def main() -> None:
     ap.add_argument(
         "--cp-backend", choices=["ring", "ulysses"], default="ring",
         help="--spatial-shard transformer attention collective: ring "
-        "(ppermute K/V, any device count) or ulysses (head-sharded "
-        "all-to-all, capped at the 4-head count)",
+        "(ppermute K/V, any device count, streamed O(T_loc*T_glob) "
+        "scores) or ulysses (head-sharded all-to-all, capped at the "
+        "4-head count; materializes full O(T_glob^2) per-head scores — "
+        "prefer ring on very large frames)",
     )
     args = ap.parse_args()
 

@@ -194,6 +194,7 @@ class ServingEngine:
         self.served = 0
         self.failed = 0
         self.rejected = 0  # overload 503s (HTTP micro-batcher queue full)
+        self.rejected_oversize = 0  # client-error 413s (bad/oversized Content-Length)
         self.latencies_ms: list[float] = []
         self._compiled: set[tuple[int, int]] = set()
         # guards the counters above AND _compiled: the HTTP transport is
@@ -387,12 +388,14 @@ class ServingEngine:
         with self.stats_lock:  # snapshot: handler threads mutate these
             lat = sorted(self.latencies_ms)
             served, failed, rejected = self.served, self.failed, self.rejected
+            rejected_oversize = self.rejected_oversize
             compiled = sorted(self._compiled)
         pick = lambda q: round(lat[min(len(lat) - 1, int(q * len(lat)))], 2) if lat else None
         return {
             "served": served,
             "failed": failed,
             "rejected": rejected,
+            "rejected_oversize": rejected_oversize,
             "p50_ms": pick(0.50),
             "p95_ms": pick(0.95),
             "compiled_shapes": compiled,
@@ -569,9 +572,11 @@ def serve_http(
     stays single-threaded (the single TPU serializes compute either way).
 
     Overload behavior: bodies over ``max_body_bytes`` get 413 without
-    being read; when the bounded micro-batcher queue (``max_queue``) is
+    being read (counted as ``rejected_oversize`` — client errors, not
+    overload); when the bounded micro-batcher queue (``max_queue``) is
     full, requests get 503 + Retry-After and count as ``rejected`` in
-    GET /stats — memory stays bounded under a request flood.
+    GET /stats — memory stays bounded under a request flood, and a flood
+    of bad uploads is distinguishable from queue saturation.
     """
     import http.server
 
@@ -630,7 +635,7 @@ def serve_http(
                 # client closes (single connection would wedge the
                 # single-threaded server)
                 with stats_lock:
-                    engine.rejected += 1
+                    engine.rejected_oversize += 1
                 self._send(
                     413,
                     f"body length {n} outside [0, {max_body_bytes}]".encode(),
@@ -742,8 +747,10 @@ def main() -> None:
     ap.add_argument(
         "--cp-backend", choices=["ring", "ulysses"], default="ring",
         help="--spatial-shard transformer attention collective: ring "
-        "(ppermute K/V, any device count) or ulysses (head-sharded "
-        "all-to-all, capped at the 4-head count)",
+        "(ppermute K/V, any device count, streamed O(T_loc*T_glob) "
+        "scores) or ulysses (head-sharded all-to-all, capped at the "
+        "4-head count; materializes full O(T_glob^2) per-head scores — "
+        "prefer ring on very large frames)",
     )
     ap.add_argument("--max-body-mb", type=int, default=64,
                     help="HTTP: reject POST bodies larger than this with 413")

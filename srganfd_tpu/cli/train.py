@@ -153,9 +153,15 @@ def run_train(
     profile_dir: str = "",
     save_every_steps: int = 0,
     async_ckpt: bool = False,
+    ckpt_every_epochs: int = 1,
 ) -> dict:
     """Train per the config. ``save_every_steps`` adds mid-epoch snapshots
     (preemption recovery beyond the reference's per-epoch checkpoints).
+    ``ckpt_every_epochs=N`` thins the epoch-end snapshot cadence to every
+    Nth epoch (best-metric epochs and the final epoch always save): the
+    reference's per-epoch save (``ESRGAN/train_rrdbnet.py:120-139``) is
+    the right cadence for its ~100k-iter epochs, but on small datasets an
+    epoch can be seconds of steps against hundreds of MB of Orbax writes.
     SIGTERM requests a cooperative preemption checkpoint: the loop saves
     ``ckpt_preempt`` at the next step boundary and exits 143 (grace needed:
     about one train step + one checkpoint write; the handler itself never
@@ -186,6 +192,7 @@ def run_train(
             profile_dir=profile_dir,
             save_every_steps=save_every_steps,
             async_ckpt=async_ckpt,
+            ckpt_every_epochs=ckpt_every_epochs,
         )
     finally:
         _restore_sigterm(prev_sigterm)
@@ -199,6 +206,7 @@ def _run_train_body(
     profile_dir: str = "",
     save_every_steps: int = 0,
     async_ckpt: bool = False,
+    ckpt_every_epochs: int = 1,
 ) -> dict:
     from srganfd_tpu.parallel.mesh import maybe_init_distributed
 
@@ -659,7 +667,15 @@ def _run_train_body(
         best["psnr"] = max(best["psnr"], psnr)
         best["ssim"] = max(best["ssim"], ssim)
         best["lpips"] = min(best["lpips"], vm["lpips"])
-        if is_main:
+        # thinned cadence: best epochs and the final epoch always snapshot
+        # (ckpt_best must never miss a best), non-cadence epochs skip the
+        # hundreds-of-MB Orbax write entirely
+        want_save = (
+            is_best
+            or (epoch + 1) % max(1, ckpt_every_epochs) == 0
+            or epoch == cfg.epochs - 1
+        )
+        if is_main and want_save:
             save_snapshot(ckpt_dir, state, epoch, best, is_best, step=(epoch + 1) * spe)
             # artifact logging reads the snapshot dirs right below
             flush_snapshots()
@@ -696,6 +712,13 @@ def main() -> None:
     )
     ap.add_argument("--profile-dir", default="", help="capture a jax.profiler trace of epoch 0")
     ap.add_argument("--save-every-steps", type=int, default=0, help="mid-epoch snapshot cadence")
+    ap.add_argument(
+        "--ckpt-every-epochs",
+        type=int,
+        default=1,
+        help="epoch-end snapshot cadence (best/final epochs always save); "
+        "thins the per-epoch Orbax writes when epochs are seconds long",
+    )
     ap.add_argument(
         "--grad-accum",
         type=int,
@@ -774,6 +797,7 @@ def main() -> None:
         profile_dir=args.profile_dir,
         save_every_steps=args.save_every_steps,
         async_ckpt=args.async_ckpt,
+        ckpt_every_epochs=args.ckpt_every_epochs,
     )
 
 

@@ -590,6 +590,13 @@ class TransformerEncoderLayer(nn.Module):
         deterministic: bool = True,
         kv_valid: jax.Array | None = None,
     ) -> jax.Array:
+        if self.ring_axis is not None and self.cp_backend not in ("ring", "ulysses"):
+            # a typo must not silently run ring attention (ADVICE r4): the
+            # CLI validates via argparse choices, but ServingEngine and
+            # programmatic callers pass the string straight through
+            raise ValueError(
+                f"unknown cp_backend {self.cp_backend!r}: expected 'ring' or 'ulysses'"
+            )
         if self.ring_axis is not None and self.cp_backend == "ulysses":
             from srganfd_tpu.parallel.ulysses import ulysses_attention_fn
 

@@ -17,6 +17,15 @@ attention (``parallel/ring_attention.py``, no head cap, halo-mask
 support at any count) stays the default cp mode; Ulysses is the
 measured-alternative for meshes up to the head count. Exact vs
 unsharded attention to f32 roundoff (tests/test_ulysses.py).
+
+Memory trade-off (ADVICE r4): the local per-head softmax materializes
+the full ``(N, H/n_dev, T_glob, T_glob)`` score matrix — O(T_glob^2)
+per device, with NO chunked/online-softmax path. Ring attention streams
+K/V blocks (O(T_loc * T_glob) scores) and the single-device path has
+``attn_chunk``; on frames large enough that scores would not fit,
+prefer ``--cp-backend ring``. Composing Ulysses' all-to-all with the
+chunked-attention kernel would close this; not needed at the 4-head /
+serving-tile sizes this backend is scoped to.
 """
 
 from __future__ import annotations

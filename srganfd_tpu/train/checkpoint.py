@@ -400,7 +400,13 @@ def warn_if_young_ema(
         return
     try:
         steps = int(payload["state"]["step"])
-    except Exception:  # noqa: BLE001 — missing/odd metadata: stay quiet
+    except Exception:  # noqa: BLE001 — missing/odd metadata
+        # a checkpoint whose age is unknown is exactly the case the
+        # warning exists for — say so instead of staying silent (ADVICE r4)
+        print(
+            "! --use-ema: checkpoint carries no step metadata, EMA age "
+            "unknown — a young EMA may still be mostly its random init"
+        )
         return
     init_w = float(decay) ** max(0, steps)
     if init_w > 0.05:

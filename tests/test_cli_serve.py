@@ -518,7 +518,10 @@ def test_http_overload_503_and_body_cap(engine):
     assert all(ra == "1" for ra in retry_after)
     stats = eng.stats()
     assert stats["served"] == served
-    assert stats["rejected"] == rejected + 2  # + the two 413s (size, neg-CL)
+    # client-error 413s (size, neg-CL) are accounted separately from
+    # genuine overload 503s (ADVICE r4)
+    assert stats["rejected"] == rejected
+    assert stats["rejected_oversize"] == 2
     # /stats exposes live queue headroom under --batch auto
     with _url.urlopen(f"http://127.0.0.1:{port}/stats", timeout=10) as r3:
         http_stats = json.loads(r3.read())

@@ -557,3 +557,51 @@ def test_pretrained_d_from_orbax_restores_mutable_vars(data_dirs, tmp_path, monk
         "grafted-D run has the same spectral u trajectory as a fresh-init "
         "run: d_vars were not restored from the checkpoint"
     )
+
+
+def test_ckpt_every_epochs_thins_epoch_saves(data_dirs, tmp_path, monkeypatch):
+    """--ckpt-every-epochs: non-cadence epochs skip the epoch-end Orbax
+    write; best-metric epochs and the final epoch always save. Cadence is
+    tracked via the meta sidecar's step field."""
+    train_dir, valid_dir = data_dirs
+    monkeypatch.chdir(tmp_path)
+    import json
+
+    from srganfd_tpu.train import checkpoint as ckpt
+
+    saved_steps = []
+    real_save = ckpt.save_checkpoint
+
+    def spy(directory, state, epoch, best, is_best, name="ckpt", step=None):
+        if name == "ckpt":
+            saved_steps.append((int(epoch), bool(is_best)))
+        return real_save(directory, state, epoch, best, is_best, name=name, step=step)
+
+    monkeypatch.setattr(ckpt, "save_checkpoint", spy)
+    # constant validation metrics: only epoch 0 is ever "best", so the
+    # thinning is observable (a genuinely improving run would save every
+    # epoch through the is_best override — by design)
+    import srganfd_tpu.cli.train as cli_train
+
+    monkeypatch.setattr(
+        cli_train,
+        "validate",
+        lambda *a, **k: {"psnr": 20.0, "ssim": 0.5, "lpips": float("inf")},
+    )
+    cfg = get_config(
+        "rrdbnet",
+        train_gt_images_dir=train_dir,
+        valid_gt_images_dir=valid_dir,
+        epochs=5,
+        batch_size=2,
+        gt_image_size=32,
+        compute_dtype="float32",
+        g_kwargs={"channels": 8, "growth_channels": 4, "num_blocks": 1},
+    )
+    run_train(cfg, steps_per_epoch=1, ckpt_every_epochs=3)
+    # epoch 0 (first best), epoch 2 (cadence: (2+1)%3==0), epoch 4 (final)
+    assert saved_steps == [(0, True), (2, False), (4, False)]
+    ckpt_dir = tmp_path / "results" / "train_RRDBNet_x4"
+    assert (ckpt_dir / "ckpt_last").exists() and (ckpt_dir / "ckpt_best").exists()
+    meta = json.loads((ckpt_dir / "ckpt_last.meta.json").read_text())
+    assert meta["epoch"] == 4  # the final epoch's snapshot is on disk

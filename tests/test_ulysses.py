@@ -174,3 +174,15 @@ def test_bsrgantrans_spatial_ulysses_serving(eight_devices):
     assert got.shape == ref.shape
     b = 2 * halo
     np.testing.assert_allclose(got[b:-b], ref[b:-b], atol=2e-3)
+
+
+def test_unknown_cp_backend_raises():
+    """A typoed cp_backend must error, not silently run ring (ADVICE r4)."""
+    from srganfd_tpu.models.blocks import TransformerEncoderLayer
+
+    layer = TransformerEncoderLayer(
+        d_model=8, nhead=4, dim_feedforward=16, ring_axis="data",
+        cp_backend="ulises",
+    )
+    with pytest.raises(ValueError, match="unknown cp_backend"):
+        layer.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 8)))
