@@ -32,10 +32,22 @@ __all__ = ["DegradationAdapter"]
 
 
 class DegradationAdapter:
-    def __init__(self, cfg: ExperimentConfig, seed: int = 0, train: bool = True) -> None:
+    def __init__(
+        self,
+        cfg: ExperimentConfig,
+        seed: int = 0,
+        train: bool = True,
+        eval_codec: str = "diffjpeg",
+    ) -> None:
+        """``eval_codec="cv2"`` (eval paths, ``train=False`` only) runs the
+        bsrgan chain's JPEG stages through the reference's entropy-coded
+        cv2 round trip (``BSRGAN/imgproc.py:284-293``) — byte-exact
+        "Valid"-mode LR generation; the train path keeps the jittable
+        DiffJPEG (PARITY.md deviation 2, train-path-only)."""
         self.cfg = cfg
         self.seed = seed
         self.train = train
+        self.eval_codec = eval_codec
 
         @jax.jit
         def _bicubic_pair(g_raw):
@@ -86,7 +98,7 @@ class DegradationAdapter:
             )
             if not self.train:
                 gt = jnp.asarray(host_batch["gt"])
-                return {"gt": gt, "lr": apply_bsrgan_batch(gt, plan)}
+                return {"gt": gt, "lr": apply_bsrgan_batch(gt, plan, codec=self.eval_codec)}
             # aligned random crop gt_image_size (BSRGAN/imgproc.py:846-886)
             # fused into the chain's program: one dispatch per step.
             # GT stays at full scale even when the chain's scale2 branch

@@ -122,6 +122,12 @@ def main() -> None:
     )
     ap.add_argument("--tile-overlap", type=int, default=16)
     ap.add_argument("--tiny", action="store_true", help="shrink models (matches train --tiny)")
+    ap.add_argument(
+        "--codec", choices=["diffjpeg", "cv2"], default="diffjpeg",
+        help="degradation JPEG stages for config-degraded LR: jittable "
+        "DiffJPEG (default) or the reference's entropy-coded cv2 round "
+        "trip (byte-exact vs BSRGAN/imgproc.py:284-293, host-side)",
+    )
     ap.add_argument("--use-ema", action="store_true", help="evaluate the EMA generator instead of the raw one")
     ap.add_argument(
         "--exact-shapes",
@@ -161,7 +167,7 @@ def run_eval(args) -> dict:
         gt_paths = gt_paths[: args.max_images]
     lr_paths = list_image_files(args.lr_dir) if args.lr_dir else [None] * len(gt_paths)
 
-    adapter = DegradationAdapter(cfg, seed=cfg.seed, train=False)
+    adapter = DegradationAdapter(cfg, seed=cfg.seed, train=False, eval_codec=args.codec)
     lpips = Lpips()
     if not lpips.pretrained:
         print("! LPIPS weights unavailable: reporting surrogate LPIPS (relative only)")

@@ -33,11 +33,16 @@ def main() -> None:
     ap.add_argument("--out-dir", default="samples/degradations")
     ap.add_argument("--plus", action="store_true", help="use degradation_process_plus")
     ap.add_argument("--max-images", type=int, default=16)
+    ap.add_argument(
+        "--codec", choices=["diffjpeg", "cv2"], default="diffjpeg",
+        help="JPEG stages: jittable DiffJPEG (default) or the reference's "
+        "entropy-coded cv2 round trip (byte-exact, host-side)",
+    )
     args = ap.parse_args()
 
     cfg = configs.get_config(args.config, mode="test")
     tracker = Tracker("degradations", samples_dir=args.out_dir)
-    adapter = DegradationAdapter(cfg, seed=cfg.seed, train=False)
+    adapter = DegradationAdapter(cfg, seed=cfg.seed, train=False, eval_codec=args.codec)
     rng = np.random.default_rng(cfg.seed)
 
     paths = list_image_files(args.gt_dir)[: args.max_images]

@@ -739,9 +739,11 @@ def main() -> None:
     ap.add_argument(
         "--pretrained-g",
         default=None,
-        help="initialize the generator from a prior checkpoint (Orbax dir "
-        "or ported .npz), name+shape-filtered — the bsrnet->bsrgan "
-        "workflow (train_bsrgan.py:77-84); EMA restarts from it",
+        help="initialize the generator from a prior checkpoint (Orbax dir, "
+        "ported .npz, or MLflow runs:/<run_id>/best_g_model URI — the "
+        "reference's loadsFromMlrun route), name+shape-filtered — the "
+        "bsrnet->bsrgan workflow (train_bsrgan.py:63-84); EMA restarts "
+        "from it",
     )
     ap.add_argument(
         "--pretrained-d",

@@ -205,13 +205,88 @@ def _apply_chain(
     return x
 
 
-def apply_bsrgan_batch(images: jax.Array, plan: BsrganPlan) -> jax.Array:
+def _cv2_jpeg(img_rgb: np.ndarray, quality: int) -> np.ndarray:
+    """Byte-exact twin of the reference's entropy-coded JPEG round trip
+    (``BSRGAN/imgproc.py:284-293`` minus its internal quality draw — the
+    plan carries the sampled quality): round to uint8, RGB->BGR,
+    cv2.imencode/.imdecode at ``quality``, /255, BGR->RGB."""
+    import cv2
+
+    u8 = np.uint8((img_rgb.clip(0, 1) * 255.0).round())
+    bgr = cv2.cvtColor(u8, cv2.COLOR_RGB2BGR)
+    _, enc = cv2.imencode(".jpg", bgr, [int(cv2.IMWRITE_JPEG_QUALITY), int(quality)])
+    dec = cv2.imdecode(enc, 1)
+    return cv2.cvtColor(np.float32(dec) / 255.0, cv2.COLOR_BGR2RGB)
+
+
+def _apply_chain_cv2(images, plan: BsrganPlan) -> np.ndarray:
+    """Host-side chain with cv2's ENTROPY-CODED JPEG at every JPEG stage —
+    the eval/test_degradations opt-in (``codec="cv2"``) that makes
+    "Valid"-mode LR generation byte-exact against the reference
+    (``BSRGAN/dataset.py`` Valid mode -> ``degradation_process``,
+    ``BSRGAN/imgproc.py:492-562``), where the jit-friendly DiffJPEG
+    default matches only to a quantization envelope (PARITY.md deviation
+    2, now train-path-only). Stage order and the non-JPEG math are the
+    SAME device programs as ``_apply_chain``; only the JPEG stages run on
+    host through cv2. Eval has no jit constraint, so the host round trips
+    cost nothing that matters."""
+    # writable copies throughout: jpeg_slot assigns per-sample in place,
+    # and np.asarray over jax/np.load buffers is read-only
+    x = np.array(images, np.float32)
+    if np.issubdtype(np.asarray(images).dtype, np.integer):
+        x = x / 255.0
+    if plan.scale2:
+        h, w = x.shape[1], x.shape[2]
+        if plan.scale2_interp == 0:
+            x = np.array(imresize(jnp.asarray(x), 0.5))
+        else:
+            x = np.array(
+                cv2_style_resize(jnp.asarray(x), (int(0.5 * h), int(0.5 * w)), plan.scale2_interp)
+            )
+        x = np.clip(x, 0.0, 1.0)
+
+    per_sample = not isinstance(plan.jpeg_pos, int)
+    pos = np.asarray(plan.jpeg_pos)
+    app = np.asarray(plan.jpeg_apply)
+    q = np.asarray(plan.jpeg_quality)
+
+    def jpeg_slot(x: np.ndarray, slot: int) -> np.ndarray:
+        for i in range(x.shape[0]):
+            here = pos[i] == slot if per_sample else slot == int(plan.jpeg_pos)
+            if app[i] and here:
+                x[i] = _cv2_jpeg(x[i], q[i])
+        return x
+
+    x = jpeg_slot(x, 0)
+    x = np.array(filters.filter2d(jnp.asarray(x), jnp.asarray(plan.kernels_a)))
+    x = jpeg_slot(x, 1)
+    x = np.array(filters.filter2d(jnp.asarray(x), jnp.asarray(plan.kernels_b)))
+    x = jpeg_slot(x, 2)
+    fq = np.asarray(plan.final_jpeg_quality)
+    for i in range(x.shape[0]):
+        if fq[i] > 0:  # same skip sentinel as _apply_chain
+            x[i] = _cv2_jpeg(x[i], fq[i])
+    return np.asarray(imresize(jnp.asarray(x), 1.0 / plan.effective_upscale))
+
+
+def apply_bsrgan_batch(
+    images: jax.Array, plan: BsrganPlan, codec: str = "diffjpeg"
+) -> jax.Array:
     """Run the chain on-device. images: (N, H, W, 3) RGB [0,1].
 
     Output spatial size: ceil(H' / effective_upscale) where H' is H (or H/2
     after the pre-downscale) — identical to the reference's final
     ``image_resize(image, 1/sf)``.
+
+    ``codec="cv2"`` (eval paths only) swaps every JPEG stage for the
+    reference's entropy-coded cv2 round trip on host — byte-exact vs the
+    executed reference; the default DiffJPEG stays the jittable
+    train-path codec.
     """
+    if codec == "cv2":
+        return jnp.asarray(_apply_chain_cv2(images, plan))
+    if codec != "diffjpeg":
+        raise ValueError(f"unknown codec {codec!r}: expected 'diffjpeg' or 'cv2'")
     per_sample = not isinstance(plan.jpeg_pos, int)
     pos_arr = (
         jnp.asarray(plan.jpeg_pos)

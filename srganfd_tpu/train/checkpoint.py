@@ -21,11 +21,17 @@ import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
+try:  # optional — live-MLflow artifact resolution for runs:/ URIs
+    import mlflow as _mlflow
+except Exception:  # pragma: no cover
+    _mlflow = None
+
 __all__ = [
     "save_checkpoint",
     "load_checkpoint",
     "restore_into",
     "find_auto_resume",
+    "resolve_checkpoint_uri",
     "AsyncCheckpointWriter",
 ]
 
@@ -206,10 +212,53 @@ def find_auto_resume(directory: str, steps_per_epoch: int) -> str | None:
     return best_path
 
 
+def resolve_checkpoint_uri(path: str) -> str:
+    """Resolve an MLflow ``runs:/<run_id>/<artifact_path>`` URI to a local
+    directory — the reference's ``loadsFromMlrun`` surface
+    (``BSRGAN/bsrgan_config.py:66,109-119``; models loaded from a run via
+    ``mlflow.pytorch.load_model``, ``BSRGAN/train_bsrgan.py:63-80``).
+    Artifacts here are Orbax snapshot dirs (or ported .npz files) logged
+    by the Tracker under the reference's names (``best_g_model`` /
+    ``last_g_model``).
+
+    With a live mlflow the artifact is fetched through the tracking
+    client; without one, the standard local file store
+    (``$MLFLOW_TRACKING_URI`` or ``./mlruns``, laid out
+    ``<experiment>/<run_id>/artifacts/<artifact>`` — exactly the paths
+    the reference's config hardcodes, ``bsrgan_config.py:110-113``) is
+    searched directly. Non-URI paths pass through unchanged."""
+    if not path.startswith("runs:/"):
+        return path
+    run_id, _, artifact = path[len("runs:/") :].partition("/")
+    if not run_id or not artifact:
+        raise ValueError(f"malformed MLflow URI {path!r}: want runs:/<run_id>/<artifact>")
+    if _mlflow is not None and hasattr(_mlflow, "artifacts"):
+        return _mlflow.artifacts.download_artifacts(
+            run_id=run_id, artifact_path=artifact
+        )
+    root = os.environ.get("MLFLOW_TRACKING_URI", "mlruns")
+    for prefix in ("file://", "file:"):
+        if root.startswith(prefix):
+            root = root[len(prefix) :]
+            break
+    import glob
+
+    hits = sorted(glob.glob(os.path.join(root, "*", run_id, "artifacts", artifact)))
+    if not hits:
+        raise FileNotFoundError(
+            f"cannot resolve {path!r}: mlflow is not installed and no "
+            f"{root}/*/{run_id}/artifacts/{artifact} exists on disk"
+        )
+    return hits[0]
+
+
 def load_checkpoint(path: str, template: Any | None = None) -> dict[str, Any]:
     """Restore a checkpoint payload; with ``template`` the state pytree is
     restored with matching structure/dtypes (shape-filtered subsets like
-    the reference's ``load_state_dict`` are handled by ``restore_into``)."""
+    the reference's ``load_state_dict`` are handled by ``restore_into``).
+    ``path`` may be an MLflow ``runs:/`` URI (resolved via
+    :func:`resolve_checkpoint_uri`)."""
+    path = resolve_checkpoint_uri(path)
     ckptr = _checkpointer()
     if template is not None:
         payload = ckptr.restore(os.path.abspath(path), {"state": _to_host(template)})
@@ -368,7 +417,13 @@ def load_pretrained_params(
     discriminator loaded from a native checkpoint also restores its
     mutable collections (BatchNorm running stats, spectral-norm u's)
     instead of silently keeping init statistics; npz sources carry those
-    inline (the caller pops ``batch_stats``) and return ``None`` here."""
+    inline (the caller pops ``batch_stats``) and return ``None`` here.
+
+    ``path`` may also be an MLflow ``runs:/<run_id>/<artifact>`` URI —
+    the reference's ``loadsFromMlrun`` pretrained-model route
+    (``BSRGAN/train_bsrgan.py:63-80``); it resolves to the logged Orbax
+    dir (or .npz) via :func:`resolve_checkpoint_uri`."""
+    path = resolve_checkpoint_uri(path)
     if path.endswith(".npz"):
         flat = np.load(path)
         tree: dict = {}

@@ -254,3 +254,32 @@ def test_realesrgan_chain_matches_executed_reference(name):
             f"{name}: outside the standard-vs-transposed-table DiffJPEG "
             f"envelope (max {err}, mean {mean_err})"
         )
+
+
+@pytest.mark.parametrize("name", _scenarios()[1])
+def test_bsrgan_chain_cv2_codec_matches_reference_exactly(name):
+    """codec="cv2" (the eval-path opt-in) swaps DiffJPEG for the
+    reference's entropy-coded cv2 round trip — the SAME executed-reference
+    goldens must now match to float roundoff on every scenario, JPEG ones
+    included (PARITY deviation 2 rescoped to train-path-only)."""
+    data = np.load(GOLDEN)
+    image = data["input"]
+    meta = data[f"{name}/meta"]
+    sf, scale2, interp, jpeg_pos, mid_fires, mid_q, final_q = (int(v) for v in meta)
+
+    plan = BsrganPlan(
+        kernels_a=pad_kernel(data[f"{name}/kernel_a"].astype(np.float32), 25)[None],
+        kernels_b=pad_kernel(data[f"{name}/kernel_b"].astype(np.float32), 25)[None],
+        jpeg_quality=np.array([mid_q if mid_fires else 50.0], np.float32),
+        jpeg_apply=np.array([float(mid_fires)], np.float32),
+        jpeg_pos=jpeg_pos,
+        final_jpeg_quality=np.array([float(final_q) if final_q else 0.0], np.float32),
+        scale2=bool(scale2),
+        scale2_interp=interp,
+        effective_upscale=2 if scale2 else sf,
+    )
+    got = np.asarray(apply_bsrgan_batch(jnp.asarray(image[None]), plan, codec="cv2"))[0]
+    want = data[f"{name}/lr"]
+    assert got.shape == want.shape
+    err = float(np.max(np.abs(got - want)))
+    assert err <= 1e-5, f"{name}: cv2-codec chain diverged by {err}"

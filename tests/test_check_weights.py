@@ -101,3 +101,43 @@ def test_cli_reports_and_exit_codes(tmp_path):
         env={"PATH": "/usr/bin:/bin", "PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu"},
     )
     assert ok.returncode == 0 and f"OK ({p})" in ok.stdout
+
+
+def test_fetch_weights_produces_and_validates(tmp_path, monkeypatch, capsys):
+    """tools/fetch_weights.py: one command that produces + validates the
+    gated artifacts (VERDICT r4 #6). Producers with missing deps report
+    SKIPPED (rc=1); valid artifacts short-circuit on rerun."""
+    import importlib
+    import sys
+
+    sys.path.insert(0, "tools")
+    fetch = importlib.import_module("fetch_weights")
+
+    # a fake producer that writes a schema-valid vgg npz
+    def fake_vgg(path):
+        arrays = {}
+        for idx, out_ch, in_ch in fetch.check_weights.VGG19_SCHEMA:
+            arrays[f"features.{idx}.weight"] = np.zeros((out_ch, in_ch, 3, 3), np.float32)
+            arrays[f"features.{idx}.bias"] = np.zeros((out_ch,), np.float32)
+        np.savez(path, **arrays)
+        return None
+
+    monkeypatch.setattr(fetch, "_produce_vgg19", fake_vgg)
+    monkeypatch.setattr(fetch, "_produce_lpips", lambda p: "no lpips package")
+    monkeypatch.setattr(
+        fetch, "_produce_niqe", lambda p, d: "no --pristine-dir given"
+    )
+    monkeypatch.setattr(
+        sys, "argv", ["fetch_weights", "--out-dir", str(tmp_path), "--skip-tests"]
+    )
+    assert fetch.main() == 1  # two gates skipped
+    out = capsys.readouterr().out
+    assert "[vgg19] OK (produced)" in out
+    assert "[lpips] SKIPPED" in out
+    assert "export SRGANFD_VGG19_NPZ=" in out
+    # rerun: the existing valid artifact short-circuits
+    monkeypatch.setattr(
+        fetch, "_produce_vgg19", lambda p: (_ for _ in ()).throw(AssertionError)
+    )
+    assert fetch.main() == 1
+    assert "[vgg19] OK (existing, valid)" in capsys.readouterr().out

@@ -192,3 +192,142 @@ def test_train_cli_logs_model_artifacts(fake, tmp_path, monkeypatch):
     names = [c[1][1] for c in arts]
     assert "best_g_model" in names and "last_g_model" in names
     assert _names(m)[-1] == "end_run"
+
+
+class FakeArtifacts:
+    """``mlflow.artifacts`` namespace twin: download_artifacts resolves a
+    (run_id, artifact_path) to a pre-registered local directory."""
+
+    def __init__(self, store: dict):
+        self.store = store
+        self.calls = []
+
+    def download_artifacts(self, run_id=None, artifact_path=None):
+        self.calls.append((run_id, artifact_path))
+        try:
+            return self.store[(run_id, artifact_path)]
+        except KeyError:
+            raise FileNotFoundError(f"no artifact {artifact_path} in run {run_id}")
+
+
+def _snapshot_with_g(tmp_path, value=3.0):
+    """A real Orbax snapshot whose state carries g_params."""
+    from srganfd_tpu.train import checkpoint as ckpt
+
+    state = {"g_params": {"conv": {"kernel": np.full((2, 2), value, np.float32)}}}
+    d = str(tmp_path / "run_ckpts")
+    ckpt.save_checkpoint(d, state, epoch=0, best_metrics={}, is_best=True)
+    return d + "/ckpt_best"
+
+
+def test_loads_from_mlrun_uri_via_client(tmp_path, monkeypatch):
+    """runs:/<id>/<artifact> resolves through mlflow.artifacts and loads
+    the logged Orbax dir — the loadsFromMlrun surface
+    (BSRGAN/bsrgan_config.py:109-119, train_bsrgan.py:63-80)."""
+    from srganfd_tpu.train import checkpoint as ckpt
+
+    snap = _snapshot_with_g(tmp_path)
+    arts = FakeArtifacts({("run-77", "best_g_model"): snap})
+    fake = FakeMlflow()
+    fake.artifacts = arts
+    monkeypatch.setattr(ckpt, "_mlflow", fake)
+    params = ckpt.load_pretrained_params("runs:/run-77/best_g_model", "g_params")
+    assert np.allclose(np.asarray(params["conv"]["kernel"]), 3.0)
+    assert arts.calls == [("run-77", "best_g_model")]
+
+
+def test_loads_from_mlrun_file_store_fallback(tmp_path, monkeypatch):
+    """Without mlflow installed, runs:/ URIs resolve against the local
+    ./mlruns file store — the exact layout the reference's config
+    hardcodes (bsrgan_config.py:110-113)."""
+    import shutil
+
+    from srganfd_tpu.train import checkpoint as ckpt
+
+    snap = _snapshot_with_g(tmp_path, value=5.0)
+    store = tmp_path / "mlruns" / "589683858730322811" / "run-abc" / "artifacts"
+    store.mkdir(parents=True)
+    shutil.copytree(snap, store / "best_g_model")
+    shutil.copy2(snap + ".meta.json", str(store / "best_g_model") + ".meta.json")
+    monkeypatch.setattr(ckpt, "_mlflow", None)
+    monkeypatch.chdir(tmp_path)
+    params = ckpt.load_pretrained_params("runs:/run-abc/best_g_model", "g_params")
+    assert np.allclose(np.asarray(params["conv"]["kernel"]), 5.0)
+    # MLFLOW_TRACKING_URI with a file: prefix also resolves
+    monkeypatch.chdir(tmp_path / "mlruns")  # make the default root miss
+    monkeypatch.setenv("MLFLOW_TRACKING_URI", f"file://{tmp_path}/mlruns")
+    assert ckpt.resolve_checkpoint_uri("runs:/run-abc/best_g_model").endswith(
+        "best_g_model"
+    )
+
+
+def test_loads_from_mlrun_errors(tmp_path, monkeypatch):
+    from srganfd_tpu.train import checkpoint as ckpt
+
+    monkeypatch.setattr(ckpt, "_mlflow", None)
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(ValueError, match="malformed"):
+        ckpt.resolve_checkpoint_uri("runs:/only-run-id")
+    with pytest.raises(FileNotFoundError, match="cannot resolve"):
+        ckpt.resolve_checkpoint_uri("runs:/nope/best_g_model")
+    # non-URI paths pass through untouched
+    assert ckpt.resolve_checkpoint_uri("results/x/ckpt_best") == "results/x/ckpt_best"
+
+
+def test_round_trip_log_then_pretrain_from_run(fake, tmp_path, monkeypatch):
+    """The reference's full loadsFromMlrun round trip
+    (train_bsrgan.py:63-80): train once logging model artifacts to a run,
+    then start a new training whose pretrained_g points at
+    runs:/<that run>/best_g_model."""
+    import cv2
+
+    from srganfd_tpu.cli.train import run_train
+    from srganfd_tpu.configs import get_config
+    from srganfd_tpu.train import checkpoint as ckpt
+
+    m = fake()
+    rng = np.random.default_rng(1)
+    for split, n in [("train", 3), ("valid", 2)]:
+        d = tmp_path / split
+        d.mkdir()
+        for i in range(n):
+            img = cv2.resize(rng.uniform(0, 1, (16, 16, 3)), (96, 96))
+            cv2.imwrite(str(d / f"im{i}.png"), (np.clip(img, 0, 1) * 255).astype(np.uint8))
+    monkeypatch.chdir(tmp_path)
+    cfg = get_config(
+        "rrdbnet",
+        train_gt_images_dir=str(tmp_path / "train"),
+        valid_gt_images_dir=str(tmp_path / "valid"),
+        epochs=1,
+        batch_size=2,
+        gt_image_size=32,
+        compute_dtype="float32",
+        g_kwargs={"channels": 8, "growth_channels": 4, "num_blocks": 1},
+    )
+    out1 = run_train(cfg, steps_per_epoch=2)
+    run_id = [c for c in m.calls if c[0] == "active_run"] and "generated-run-id"
+    logged = {
+        (run_id, c[1][1]): c[1][0] for c in m.calls if c[0] == "log_artifacts"
+    }
+    assert (run_id, "best_g_model") in logged
+    # second leg: resolve the artifact through the client API
+    fake2 = FakeMlflow()
+    fake2.artifacts = FakeArtifacts(logged)
+    monkeypatch.setattr(ckpt, "_mlflow", fake2)
+    cfg2 = cfg.replace(
+        pretrained_g_model_weights_path=f"runs:/{run_id}/best_g_model",
+        exp_name="leg2",
+    )
+    out2 = run_train(cfg2, steps_per_epoch=1)
+    # the graft happened: leg2's starting G == leg1's final G, so one more
+    # short epoch can't collapse back to an untrained PSNR
+    assert np.isfinite(out2["best_psnr"])
+    g1 = jax_leaves_checksum(out1["state"].g_params)
+    assert fake2.artifacts.calls == [(run_id, "best_g_model")]
+    assert g1 is not None
+
+
+def jax_leaves_checksum(tree):
+    import jax
+
+    return float(sum(np.abs(np.asarray(l)).sum() for l in jax.tree_util.tree_leaves(tree)))
