@@ -167,7 +167,11 @@ def run_eval(args) -> dict:
         gt_paths = gt_paths[: args.max_images]
     lr_paths = list_image_files(args.lr_dir) if args.lr_dir else [None] * len(gt_paths)
 
-    adapter = DegradationAdapter(cfg, seed=cfg.seed, train=False, eval_codec=args.codec)
+    # getattr: run_eval is also driven programmatically with hand-built
+    # Namespaces (tests, tools/parity_table.py) that predate --codec
+    adapter = DegradationAdapter(
+        cfg, seed=cfg.seed, train=False, eval_codec=getattr(args, "codec", "diffjpeg")
+    )
     lpips = Lpips()
     if not lpips.pretrained:
         print("! LPIPS weights unavailable: reporting surrogate LPIPS (relative only)")

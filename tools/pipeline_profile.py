@@ -15,11 +15,68 @@ import sys
 import time
 
 
+def loader_only(args) -> None:
+    """Measure the input pipeline in ISOLATION (no TPU, no jax): native
+    loader decode+crop+augment images/s at each thread count, cold
+    (first pass decodes) vs warm (decoded-image cache hot). This is the
+    half of the end-to-end rate most likely to bind on a few-core host —
+    the reference's own fatal bottleneck was exactly here
+    (SURVEY §3.1 hot loop (b), ``BSRGAN/dataset.py:64-96``)."""
+    import glob
+    import pathlib
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+    from srganfd_tpu.data import native_loader
+
+    paths = sorted(
+        p
+        for ext in ("png", "jpg")
+        for p in glob.glob(f"{args.train_dir}/*.{ext}")
+    )
+    print(f"{len(paths)} images; crop {args.crop}, batch {args.batch}")
+    if not native_loader.available():
+        sys.exit("native loader unavailable")
+    for threads in args.threads:
+        loader = native_loader.NativeBatchLoader(
+            paths, crop=args.crop, batch_size=args.batch, seed=0,
+            num_threads=threads, uint8=True,
+        )
+        it = iter(loader)
+        # cold window: every decode is fresh until the cache covers the
+        # dataset; size the window to one full pass
+        cold_batches = max(1, len(paths) // args.batch)
+        t0 = time.perf_counter()
+        for _ in range(cold_batches):
+            next(it)
+        cold = cold_batches * args.batch / (time.perf_counter() - t0)
+        # warm window: decoded cache hot; crop+augment+copy only
+        warm_batches = max(cold_batches, 50)
+        t0 = time.perf_counter()
+        for _ in range(warm_batches):
+            next(it)
+        warm = warm_batches * args.batch / (time.perf_counter() - t0)
+        loader.close()
+        print(
+            f"  threads={threads}: cold {cold:7.1f} img/s "
+            f"({cold / args.batch:6.2f} batch/s)   warm {warm:7.1f} img/s "
+            f"({warm / args.batch:6.2f} batch/s)",
+            flush=True,
+        )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--train-dir", required=True)
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--config", default="bsrgan")
+    ap.add_argument(
+        "--loader-only", action="store_true",
+        help="measure the native loader in isolation (no jax/TPU): "
+        "cold/warm images/s per thread count",
+    )
+    ap.add_argument("--crop", type=int, default=320)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--threads", type=int, nargs="+", default=[1, 2, 4])
     ap.add_argument(
         "--fuse-step",
         action="store_true",
@@ -32,6 +89,9 @@ def main() -> None:
         help="K-step scanned dispatch (SRGANFD_STEPS_PER_DISPATCH mode; implies --fuse-step)",
     )
     args = ap.parse_args()
+    if args.loader_only:
+        loader_only(args)
+        return
     if args.steps_per_dispatch > 1:
         args.fuse_step = True
     sys.path.insert(0, ".")
