@@ -37,7 +37,23 @@ __all__ = [
 
 
 def _to_host(tree: Any) -> Any:
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    """Device->host copy of a state pytree, all leaves IN FLIGHT AT ONCE.
+
+    A naive per-leaf ``np.asarray`` issues one blocking transfer per
+    tensor; on a high-latency device link (the axon TPU tunnel: ~tens of
+    ms per round trip) a ~2800-leaf train state then costs minutes per
+    snapshot — measured 80-90 s per best-epoch checkpoint on hardware,
+    4x the epoch's step work. ``copy_to_host_async`` first enqueues every
+    D2H copy so the link pipelines them; the ``np.asarray`` pass then
+    only waits for arrivals."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    for x in leaves:
+        if isinstance(x, jax.Array) and not x.is_deleted():
+            try:
+                x.copy_to_host_async()
+            except (NotImplementedError, AttributeError):  # non-addressable etc.
+                pass
+    return jax.tree_util.tree_unflatten(treedef, [np.asarray(x) for x in leaves])
 
 
 def _checkpointer() -> ocp.StandardCheckpointer:
