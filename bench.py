@@ -99,14 +99,38 @@ CONFIGS = [
         "step_tflops": 5.21,
         "e2e": True,
     },
+    {
+        "metric": (
+            "bsrgan_x4 END-TO-END FUSED train steps/sec/chip "
+            "(single-dispatch degradation+crop+GAN step — the "
+            "SRGANFD_FUSE_STEP=1 production mode for remote tunnels)"
+        ),
+        "arch": "bsrgan_x4",
+        "upscale": 4,
+        "gt": 128,
+        "batch": 16,
+        "anchor_steps_per_sec": 2.304,
+        "step_tflops": 5.21,
+        "e2e": True,
+        "fused": True,
+        # the fused chain's static-branch space is tiny (scale2 x interp),
+        # so far fewer warmup steps cover it than the adapter path needs
+        "warmup": 30,
+    },
 ]
 
 WARMUP_STEPS = 3
 MEASURE_STEPS = 20
 MEASURE_WINDOWS = 3  # independent timed windows -> mean + spread
-E2E_WARMUP_STEPS = 14  # must cover the degradation-plan branch variants
-E2E_MEASURE_STEPS = 15
-E2E_MEASURE_WINDOWS = 2
+# Warmup must cover the degradation-plan STATIC BRANCH space: each new
+# blur-slot/scale2/jpeg combination compiles its own chain program, and
+# through the tunnel each compile costs seconds. The round-5 convergence
+# run needed ~90 production steps to reach steady state; 14 warmup steps
+# measured 0.51/1.30 steps/s windows (spread 0.88) purely from compiles
+# landing inside the timed windows.
+E2E_WARMUP_STEPS = 120
+E2E_MEASURE_STEPS = 25
+E2E_MEASURE_WINDOWS = 3
 V5E_BF16_PEAK_TFLOPS = 197.0
 
 TILE_CACHE = os.path.expanduser("~/.cache/srganfd_bench_tiles/cfd320")
@@ -311,17 +335,48 @@ def _bench_e2e(c: dict) -> tuple[list[float], str]:
     it = iter(loader)
     step = 0
 
-    def run_steps(n: int):
-        nonlocal state, step
-        metrics = None
-        for _ in range(n):
-            batch = adapter(next(it), step)
-            state, metrics = step_fn(state, batch["gt"], batch["lr"])
-            step += 1
-        # close the dispatch chain with a byte fetch (tunnel-safe timing)
-        float(metrics["g_loss"])
+    if c.get("fused"):
+        # the cli.train SRGANFD_FUSE_STEP=1 route (cli/train.py:550-568):
+        # host-sampled plan, chain+aligned-crop+GAN update in ONE dispatch
+        from srganfd_tpu.ops.degrade import bsrgan_lr_size, plan_bsrgan_batch
 
-    run_steps(E2E_WARMUP_STEPS)
+        jpeg_prob = cfg.degradation_params.get("jpeg_prob", 0.9)
+        scale2_prob = cfg.degradation_params.get("scale2_prob", 0.25)
+
+        def run_steps(n: int):
+            nonlocal state, step
+            metrics = None
+            for _ in range(n):
+                host_batch = next(it)
+                nb = int(np.shape(host_batch["gt"])[0])
+                rng = adapter.step_rng(step)
+                plan = plan_bsrgan_batch(
+                    rng, nb, cfg.upscale_factor,
+                    jpeg_prob=jpeg_prob, scale2_prob=scale2_prob,
+                    per_sample_order=True,
+                )
+                lr_edge = bsrgan_lr_size(int(np.shape(host_batch["gt"])[1]), plan)
+                lim = lr_edge - cfg.gt_image_size // cfg.upscale_factor
+                tops = rng.integers(0, lim + 1, nb)
+                lefts = rng.integers(0, lim + 1, nb)
+                state, metrics = trainer.bsrgan_fused_train_step(
+                    state, host_batch["gt"], plan, tops, lefts, cfg.gt_image_size
+                )
+                step += 1
+            float(metrics["g_loss"])
+    else:
+
+        def run_steps(n: int):
+            nonlocal state, step
+            metrics = None
+            for _ in range(n):
+                batch = adapter(next(it), step)
+                state, metrics = step_fn(state, batch["gt"], batch["lr"])
+                step += 1
+            # close the dispatch chain with a byte fetch (tunnel-safe timing)
+            float(metrics["g_loss"])
+
+    run_steps(int(c.get("warmup", E2E_WARMUP_STEPS)))
     rates = []
     for _ in range(E2E_MEASURE_WINDOWS):
         t0 = time.perf_counter()
